@@ -1,0 +1,64 @@
+"""Single-task / divide-task CLI, accepting the reference's opt/*.yaml schema.
+
+Usage (mirrors reference main.py:680-706):
+    python -m brief_pytorch_tpu.cli.main -p opt/SingleTask/default.yaml
+Flags: -p yaml, -g device list (kept for compatibility; TPU devices are
+managed by JAX), -substore/-stepstore, plus scheduler knobs for divide runs.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import shutil
+
+import numpy as np
+
+from brief_pytorch_tpu.core import config as cfglib
+from brief_pytorch_tpu.utils.logger import MyLogger
+
+
+def reproduc(opt) -> None:
+    """Seed host RNGs (reference main.py:653-661).  JAX PRNG keys are
+    derived from the same seed inside the trainers."""
+    random.seed(opt.seed)
+    np.random.seed(opt.seed)
+
+
+def run(opt_path: str, args=None) -> dict:
+    opt = cfglib.load(opt_path)
+    log = MyLogger(**opt.Log.to_plain())
+    shutil.copy(opt_path, log.script_dir)
+    reproduc(opt.Reproduc)
+    seed = int(opt.Reproduc.seed)
+    divide_type = opt.CompressFramework.Compress.divide.divide_type
+    data_path = opt.Dataset.data_path
+    if divide_type == "none":
+        from brief_pytorch_tpu.train.fit import NFGR
+        cf = NFGR(opt.CompressFramework, logger=log, seed=seed)
+        return cf.compress(data_path,
+                           stepstore=getattr(args, "stepstore", False))
+    from brief_pytorch_tpu.parallel.divide_runner import compress_divide
+    return compress_divide(opt, log, args)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="single task for datacompress")
+    parser.add_argument("-p", type=str,
+                        default=os.path.join("opt", "SingleTask", "default.yaml"))
+    parser.add_argument("-g", default="0",
+                        help="device list (compat; JAX manages TPU devices)")
+    parser.add_argument("-gc", type=int, default=8000)
+    parser.add_argument("-cc", type=int, default=3000)
+    parser.add_argument("-t", type=float, default=2)
+    parser.add_argument("-m", type=int, default=33)
+    parser.add_argument("-dropslice", action="store_true")
+    parser.add_argument("-debug", action="store_true")
+    parser.add_argument("-substore", action="store_true")
+    parser.add_argument("-stepstore", action="store_false")
+    args = parser.parse_args(argv)
+    return run(args.p, args)
+
+
+if __name__ == "__main__":
+    main()

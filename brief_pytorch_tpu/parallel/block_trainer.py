@@ -1,0 +1,401 @@
+"""Many-blocks-per-chip training: the TPU-native replacement for the
+reference's one-process-per-block scheduler.
+
+The reference trains each block of a divided volume in its own OS process,
+greedily packed onto GPUs by nvidia-smi polling (main.py:547-580,
+TasksManager.py:222-251).  On TPU we instead:
+
+  1. stack B blocks' networks into leading-axis parameter arrays,
+     padding heterogeneous widths (from alloc_param) up to the bucket
+     maximum with *masked units* — padded units are zero-initialised and
+     provably receive zero gradient (their activations are masked to zero,
+     so every gradient path through them vanishes), keeping the active
+     sub-network's math bit-identical to unpadded training;
+  2. vmap the whole sample->forward->loss->backward->update step over the
+     block axis — per-step compute becomes large batched matmuls that tile
+     onto the MXU;
+  3. shard the block axis across the device mesh (parallel/mesh.py): blocks
+     are independent, so the partitioned program has NO collectives — ICI
+     carries zero traffic and scaling is linear by construction;
+  4. pad block voxel counts to a common Vmax and sample with per-block
+     population bounds, so the volume heterogeneity from adaptive blocking
+     never breaks SPMD.
+
+Per-block semantics preserved from the reference children (temp_main.py):
+per-block normalisation (own min/max), per-block byte budgets and the
+degradation chain, per-block loss means, per-block Adamax + MultiStepLR.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from brief_pytorch_tpu.core.coords import index_to_coords_dynamic
+from brief_pytorch_tpu.models.phi import (ChainSpec, _ChainModel, _act,
+                                          init_linear, init_phi)
+from brief_pytorch_tpu.parallel.mesh import block_sharding, make_mesh, replicated
+from brief_pytorch_tpu.train.loss import make_loss
+from brief_pytorch_tpu.train.optim import make_optimizer
+
+
+# --------------------------------------------------------------------------
+# stacked masked chains
+# --------------------------------------------------------------------------
+@dataclass(frozen=True)
+class StackedChainSpec:
+    """Common (padded) architecture of a bucket of chain networks."""
+    acts: Tuple[str, ...]          # per layer
+    w0s: Tuple[float, ...]
+    dims: Tuple[Tuple[int, int], ...]  # padded (in, out) per layer
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.dims)
+
+
+def _layer_meta(spec: ChainSpec):
+    """Flatten a ChainSpec into per-linear (in, out, act, w0, init) tuples.
+    Only plain chains are supported for stacking (res/skip nets train
+    per-block)."""
+    assert spec.skip_entry == -1 and spec.encoder in ("none", "sirenpos")
+    out = []
+    for e in spec.entries:
+        assert e.kind == "plain", "res chains are not stack-padded"
+        out.append((e.fan_in, e.fan_out, e.act, e.w0, e.w_init))
+    return out
+
+
+def build_stacked(models: Sequence[_ChainModel], key) -> Tuple[
+        StackedChainSpec, List[Dict], List[jnp.ndarray]]:
+    """Stack B chain models (same family/layer count, any widths) into
+    padded leading-axis params + per-layer output masks.
+
+    Returns (stacked_spec, params_layers, masks) where
+      params_layers[l] = {'w': (B, in_max, out_max), 'b': (B, out_max)}
+      masks[l]         = (B, out_max) float32 validity mask.
+    """
+    metas = [_layer_meta(m.spec) for m in models]
+    L = len(metas[0])
+    assert all(len(m) == L for m in metas), "layer-count mismatch in bucket"
+    B = len(models)
+    dims = []
+    for l in range(L):
+        in_max = max(m[l][0] for m in metas)
+        out_max = max(m[l][1] for m in metas)
+        dims.append((in_max, out_max))
+    acts = tuple(metas[0][l][2] for l in range(L))
+    w0s = tuple(metas[0][l][3] for l in range(L))
+    spec = StackedChainSpec(acts=acts, w0s=w0s, dims=tuple(dims))
+
+    keys = jax.random.split(key, B)
+    params_layers = []
+    masks = []
+    for l in range(L):
+        in_max, out_max = dims[l]
+        w = np.zeros((B, in_max, out_max), np.float32)
+        b = np.zeros((B, out_max), np.float32)
+        m = np.zeros((B, out_max), np.float32)
+        for bi, meta in enumerate(metas):
+            fi, fo, _act_, _w0_, w_init = meta[l]
+            lk = jax.random.fold_in(keys[bi], l)
+            lp = init_linear(lk, fi, fo, w_init)
+            w[bi, :fi, :fo] = np.asarray(lp["w"])
+            b[bi, :fo] = np.asarray(lp["b"])
+            m[bi, :fo] = 1.0
+        params_layers.append({"w": jnp.asarray(w), "b": jnp.asarray(b)})
+        masks.append(jnp.asarray(m))
+    return spec, params_layers, masks
+
+
+def stacked_apply(layers_b, masks_b, coords, spec: StackedChainSpec,
+                  compute_dtype=None):
+    """Forward for ONE block (call under vmap over the leading axis).
+
+    layers_b[l]['w']: (in_max, out_max); masks_b[l]: (out_max,).
+    Masking after each activation zeroes padded units, which both keeps the
+    active network exact and kills every gradient path into padding.
+    """
+    h = coords
+    for l in range(spec.n_layers):
+        w, b = layers_b[l]["w"], layers_b[l]["b"]
+        if compute_dtype is not None:
+            z = jnp.dot(h.astype(compute_dtype), w.astype(compute_dtype),
+                        preferred_element_type=jnp.float32) + b
+        else:
+            z = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        h = _act(spec.acts[l], spec.w0s[l], z)
+        if l < spec.n_layers - 1:
+            h = h * masks_b[l]
+    return h
+
+
+def unstack_params(params_layers, models: Sequence[_ChainModel]):
+    """Slice each block's true-width layers back out of the padded stack."""
+    out = []
+    for bi, m in enumerate(models):
+        meta = _layer_meta(m.spec)
+        layers = []
+        for l, (fi, fo, *_rest) in enumerate(meta):
+            layers.append({
+                "w": np.asarray(params_layers[l]["w"][bi, :fi, :fo]),
+                "b": np.asarray(params_layers[l]["b"][bi, :fo])})
+        out.append({"layers": layers})
+    return out
+
+
+# --------------------------------------------------------------------------
+# block batch container
+# --------------------------------------------------------------------------
+@dataclass
+class BlockBatch:
+    """B normalised blocks padded to a common flat voxel count."""
+    data: jnp.ndarray          # (B, Vmax, c)
+    weight: jnp.ndarray        # (B, Vmax, c)
+    valid: jnp.ndarray         # (B,) int32 true voxel counts
+    shapes: jnp.ndarray        # (B, ndim) spatial extents
+    vmax: int
+    ndim: int
+
+    @staticmethod
+    def build(blocks: List[Dict], pad_multiple: int = 1) -> "BlockBatch":
+        """blocks: dicts with 'data_norm' (*spatial, c) float32 and
+        'weight' of the same shape."""
+        ndim = blocks[0]["data_norm"].ndim - 1
+        c = blocks[0]["data_norm"].shape[-1]
+        vmax = max(int(np.prod(b["data_norm"].shape[:-1])) for b in blocks)
+        if pad_multiple > 1:
+            vmax = ((vmax + pad_multiple - 1) // pad_multiple) * pad_multiple
+        B = len(blocks)
+        data = np.zeros((B, vmax, c), np.float32)
+        weight = np.zeros((B, vmax, c), np.float32)
+        valid = np.zeros((B,), np.int32)
+        shapes = np.ones((B, ndim), np.int32)
+        for i, b in enumerate(blocks):
+            v = int(np.prod(b["data_norm"].shape[:-1]))
+            data[i, :v] = b["data_norm"].reshape(v, c)
+            weight[i, :v] = b["weight"].reshape(v, c)
+            valid[i] = v
+            shapes[i] = b["data_norm"].shape[:-1]
+        return BlockBatch(jnp.asarray(data), jnp.asarray(weight),
+                          jnp.asarray(valid), jnp.asarray(shapes), vmax, ndim)
+
+
+# --------------------------------------------------------------------------
+# vmapped training
+# --------------------------------------------------------------------------
+@partial(jax.jit,
+         static_argnames=("spec", "tx", "loss_name", "beta", "weight_thres",
+                          "n_steps", "sample_size", "coords_mode", "half",
+                          "fullbatch"),
+         donate_argnums=(0, 1))
+def run_block_segment(params_layers, opt_state, masks, data, weight, valid,
+                      shapes, key, *, spec: StackedChainSpec, tx,
+                      loss_name: str, beta: float, weight_thres: float,
+                      n_steps: int, sample_size: int, coords_mode: str,
+                      half: bool, fullbatch: bool):
+    """n_steps of simultaneous training for all B blocks (one scan).
+
+    Each step vmaps sample+forward+backward+update over the block axis;
+    blocks are independent so the sharded program has no collectives.
+    Returns (params_layers, opt_state, losses (n_steps, B)).
+    """
+    loss_fn = make_loss(loss_name, beta)
+    compute_dtype = jnp.bfloat16 if half else None
+    B = data.shape[0]
+
+    def block_loss(layers_b, masks_b, data_b, weight_b, valid_b, shape_b, key_b):
+        if fullbatch:
+            idx = jnp.arange(data.shape[1])
+            vals = data_b
+            wts = weight_b
+            sample_valid = (idx < valid_b)[:, None].astype(jnp.float32)
+        else:
+            idx = jax.random.randint(key_b, (sample_size,), 0,
+                                     jnp.maximum(valid_b, 1))
+            vals = data_b[idx]
+            wts = weight_b[idx]
+            sample_valid = None
+        coords = index_to_coords_dynamic(idx, shape_b, coords_mode)
+        pred = stacked_apply(layers_b, masks_b, coords, spec, compute_dtype)
+        pred = pred.astype(vals.dtype)
+        if sample_valid is None:
+            return loss_fn(vals, pred, wts, weight_thres)
+        # full-batch: mean over valid voxels only
+        err = (pred - vals) ** 2 if loss_name == "datal2" else None
+        if err is None:
+            d = jnp.abs(pred - vals)
+            err = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+        w = wts
+        if weight_thres:
+            w = jnp.where(pred <= weight_thres, 1.0, w)
+        err = err * w * sample_valid
+        return err.sum() / jnp.maximum(valid_b.astype(jnp.float32), 1.0)
+
+    def step_fn(carry, key):
+        params_layers, opt_state = carry
+        keys = jax.random.split(key, B)
+
+        def per_block(layers_b, masks_b, data_b, weight_b, valid_b, shape_b,
+                      key_b):
+            return jax.value_and_grad(block_loss)(layers_b, masks_b, data_b,
+                                                  weight_b, valid_b, shape_b,
+                                                  key_b)
+
+        # grad wrt layers only; vmap over blocks
+        def vloss(layers_b, masks_b, data_b, weight_b, valid_b, shape_b, key_b):
+            return block_loss(layers_b, masks_b, data_b, weight_b, valid_b,
+                              shape_b, key_b)
+
+        losses, grads = jax.vmap(
+            jax.value_and_grad(vloss), in_axes=(0, 0, 0, 0, 0, 0, 0)
+        )(params_layers, masks, data, weight, valid, shapes, keys)
+        updates, new_opt_state = jax.vmap(tx.update)(grads, opt_state,
+                                                     params_layers)
+        params_layers = optax.apply_updates(params_layers, updates)
+        return (params_layers, new_opt_state), losses
+
+    keys = jax.random.split(key, n_steps)
+    (params_layers, opt_state), losses = jax.lax.scan(
+        step_fn, (params_layers, opt_state), keys)
+    return params_layers, opt_state, losses
+
+
+@partial(jax.jit, static_argnames=("spec", "slab", "coords_mode", "half",
+                                   "vmax"))
+def decode_blocks(params_layers, masks, shapes, *, spec: StackedChainSpec,
+                  slab: int, coords_mode: str, half: bool, vmax: int):
+    """Vmapped padded grid decode: (B, Vmax, c) predictions."""
+    compute_dtype = jnp.bfloat16 if half else None
+    n_slabs = math.ceil(vmax / slab)
+
+    def one_block(layers_b, masks_b, shape_b):
+        def body(_, i):
+            idx = i * slab + jnp.arange(slab)
+            coords = index_to_coords_dynamic(idx, shape_b, coords_mode)
+            return None, stacked_apply(layers_b, masks_b, coords, spec,
+                                       compute_dtype)
+        _, out = jax.lax.scan(body, None, jnp.arange(n_slabs))
+        return out.reshape(n_slabs * slab, -1)[:vmax]
+
+    return jax.vmap(one_block)(params_layers, masks, shapes)
+
+
+# --------------------------------------------------------------------------
+# bucket orchestration
+# --------------------------------------------------------------------------
+class BlockFleetTrainer:
+    """Trains a fleet of per-block INRs as sharded, vmapped buckets.
+
+    Buckets group blocks by (phi name, layer count, act structure); widths
+    inside a bucket are padded to the max.  Each bucket is one SPMD program
+    with its block axis sharded over the mesh.
+    """
+
+    def __init__(self, mesh=None, seed: int = 42):
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_block_shards=len(jax.devices()))
+        self.seed = seed
+
+    def train(self, blocks: List[Dict], compress_cfg, max_steps: int,
+              checkpoint_cb=None, checkpoints: Optional[List[int]] = None,
+              progress_cb=None) -> List[Dict]:
+        """blocks: dicts with keys data_norm, weight, model (PhiModel),
+        name, sideinfos.  Returns blocks with 'params' attached.
+
+        compress_cfg: the Compress config node (sampler, loss, lr, ...).
+        """
+        # bucket by stackable signature
+        buckets: Dict[tuple, List[int]] = {}
+        for i, blk in enumerate(blocks):
+            m = blk["model"]
+            meta = tuple((e.act, e.w0, e.kind) for e in m.spec.entries)
+            sig = (type(m).__name__, len(m.spec.entries), meta)
+            buckets.setdefault(sig, []).append(i)
+
+        for sig, idxs in buckets.items():
+            self._train_bucket([blocks[i] for i in idxs], compress_cfg,
+                               max_steps, checkpoint_cb, checkpoints,
+                               progress_cb)
+        return blocks
+
+    def _train_bucket(self, blocks: List[Dict], cc, max_steps: int,
+                      checkpoint_cb, checkpoints, progress_cb):
+        models = [b["model"] for b in blocks]
+        key = jax.random.PRNGKey(self.seed)
+        spec, params_layers, masks = build_stacked(models, key)
+        batch = BlockBatch.build(blocks)
+
+        # sampler mode: randomcube with whole-block cubes == full batch
+        sampler_name = cc.sampler.name
+        cube_voxels = int(np.prod([int(x) for x in cc.sampler.cube_len][:batch.ndim]))
+        fullbatch = sampler_name == "randomcube"
+        sample_size = int(cc.sampler.sample_size)
+
+        tx = make_optimizer(cc.optimizer_name_phi, float(cc.lr_phi),
+                            cc.lr_scheduler_phi)
+        opt_state = jax.vmap(tx.init)(params_layers)
+
+        # shard the block axis
+        bs = block_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        nd = self.mesh.devices.size
+        put = lambda x: x  # rely on XLA propagation from data placement
+        params_layers = jax.device_put(params_layers, bs)
+        opt_state = jax.device_put(opt_state, bs)
+        masks_s = jax.device_put(masks, bs)
+        data = jax.device_put(batch.data, bs)
+        weight = jax.device_put(batch.weight, bs)
+        valid = jax.device_put(batch.valid, bs)
+        shapes = jax.device_put(batch.shapes, bs)
+
+        thres = float(blocks[0].get("weight_thres_norm", 0.0))
+        ckpts = checkpoints or [max_steps]
+        key = jax.random.PRNGKey(self.seed + 1)
+        step = 0
+        for ckpt in ckpts:
+            n = ckpt - step
+            if n > 0:
+                key, seg = jax.random.split(key)
+                params_layers, opt_state, losses = run_block_segment(
+                    params_layers, opt_state, masks_s, data, weight, valid,
+                    shapes, seg, spec=spec, tx=tx,
+                    loss_name=cc.loss.name,
+                    beta=float(cc.loss.get("beta", 0.01)),
+                    weight_thres=thres, n_steps=n, sample_size=sample_size,
+                    coords_mode=cc.coords_mode, half=bool(cc.half),
+                    fullbatch=fullbatch)
+                if progress_cb is not None:
+                    progress_cb(ckpt, np.asarray(losses[-1]))
+            step = ckpt
+            if checkpoint_cb is not None:
+                per_block = unstack_params(params_layers, models)
+                checkpoint_cb(step, blocks, per_block)
+        # attach final params
+        per_block = unstack_params(params_layers, models)
+        for blk, p in zip(blocks, per_block):
+            blk["params"] = p
+        self._last = (spec, params_layers, masks_s, shapes, batch)
+
+    def decode(self, blocks: List[Dict], cc, decompress_cfg) -> List[np.ndarray]:
+        """Decode every block (vmapped padded grid inference) and return
+        per-block float32 arrays in their true shapes."""
+        spec, params_layers, masks_s, shapes, batch = self._last
+        slab = max(128, min(1 << 15, batch.vmax))
+        slab = ((slab + 127) // 128) * 128
+        out = decode_blocks(params_layers, masks_s, shapes, spec=spec,
+                            slab=slab, coords_mode=cc.coords_mode,
+                            half=bool(cc.half), vmax=batch.vmax)
+        out = np.asarray(out, np.float32)
+        results = []
+        for i, blk in enumerate(blocks):
+            shape = blk["data_norm"].shape
+            v = int(np.prod(shape[:-1]))
+            results.append(out[i, :v].reshape(shape))
+        return results

@@ -1,0 +1,73 @@
+"""Device mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's process-level GPU scheduler
+(utils/TasksManager.py): instead of one OS process per block placed on a GPU
+by nvidia-smi polling, blocks become a *sharded array axis* on a
+jax.sharding.Mesh — placement is the sharding, retries are superfluous
+(SPMD steps are deterministic), and scaling across hosts is
+jax.distributed + the same mesh.
+
+Axes convention:
+  'blocks' — independent INR blocks (embarrassingly parallel, no collectives)
+  'data'   — coordinate-batch axis inside one block (psum grad reduction)
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_block_shards: Optional[int] = None,
+              n_data_shards: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Create a ('blocks', 'data') mesh over the available devices.
+
+    Default: all devices on the block axis (blocks are independent, so ICI
+    carries no traffic); reserve 'data' shards only for single-block
+    coordinate parallelism.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_block_shards is None:
+        n_block_shards = n // n_data_shards
+    assert n_block_shards * n_data_shards == n, \
+        f"{n_block_shards}x{n_data_shards} != {n} devices"
+    arr = np.array(devices).reshape(n_block_shards, n_data_shards)
+    return Mesh(arr, ("blocks", "data"))
+
+
+def block_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading block axis sharded, everything else replicated per shard."""
+    return NamedSharding(mesh, P("blocks"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard a (batch, ...) array along the 'data' axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def multihost_init(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Initialise jax.distributed for multi-host meshes.  No-op when the
+    environment provides no cluster (single-host dev boxes, tests)."""
+    try:
+        if coordinator is not None:
+            jax.distributed.initialize(coordinator_address=coordinator,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+        else:
+            jax.distributed.initialize()
+    except Exception:
+        pass  # single-process environment
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

