@@ -480,15 +480,14 @@ class _MFN(PhiModel):
         out = init_linear(keys[-1], self.f, self.o, "default")
         return linear, out
 
-    def _apply_common(self, params, filters_out):
+    def _apply_common(self, params, filters_out, compute_dtype=None):
         h = filters_out[0]
         for i in range(1, len(filters_out)):
             lin = params["linear"][i - 1]
-            h = filters_out[i] * (jnp.dot(h, lin["w"],
-                                          preferred_element_type=jnp.float32)
+            h = filters_out[i] * (_matmul(h, lin["w"], compute_dtype)
                                   + lin["b"])
         out = params["output"]
-        y = jnp.dot(h, out["w"], preferred_element_type=jnp.float32) + out["b"]
+        y = _matmul(h, out["w"], compute_dtype) + out["b"]
         return jnp.sin(y) if self.output_act else y
 
 
@@ -510,10 +509,9 @@ class MFNFourier(_MFN):
         return {"linear": linear, "output": out, "filters": filters}
 
     def apply(self, params, coords, compute_dtype=None):
-        filt = [jnp.sin(jnp.dot(coords, f["w"],
-                                preferred_element_type=jnp.float32) + f["b"])
+        filt = [jnp.sin(_matmul(coords, f["w"], compute_dtype) + f["b"])
                 for f in params["filters"]]
-        return self._apply_common(params, filt)
+        return self._apply_common(params, filt, compute_dtype)
 
 
 class MFNGabor(_MFN):
@@ -543,11 +541,10 @@ class MFNGabor(_MFN):
             # D = ||x||^2 + ||mu||^2 - 2 x mu^T  (ref Networks.py:743-749)
             D = (jnp.sum(coords ** 2, -1, keepdims=True)
                  + jnp.sum(f["mu"] ** 2, -1)[None, :]
-                 - 2.0 * jnp.dot(coords, f["mu"].T,
-                                 preferred_element_type=jnp.float32))
-            z = jnp.dot(coords, f["w"], preferred_element_type=jnp.float32) + f["b"]
+                 - 2.0 * _matmul(coords, f["mu"].T, compute_dtype))
+            z = _matmul(coords, f["w"], compute_dtype) + f["b"]
             filt.append(jnp.sin(z) * jnp.exp(-0.5 * D * f["gamma"]))
-        return self._apply_common(params, filt)
+        return self._apply_common(params, filt, compute_dtype)
 
 
 # --------------------------------------------------------------------------

@@ -290,18 +290,41 @@ def decode_blocks(params_layers, masks, shapes, *, spec: StackedChainSpec,
 # --------------------------------------------------------------------------
 # bucket orchestration
 # --------------------------------------------------------------------------
+@dataclass
+class _BucketState:
+    """Live training state of one stacked bucket."""
+    block_idxs: List[int]          # indices into the fleet's block list
+    models: List
+    spec: StackedChainSpec
+    params: object                 # stacked layer pytree
+    opt_state: object
+    masks: object
+    batch: BlockBatch
+    data: object
+    weight: object
+    valid: object
+    shapes: object
+    tx: object
+    key: object
+    thres: float
+
+
 class BlockFleetTrainer:
     """Trains a fleet of per-block INRs as sharded, vmapped buckets.
 
-    Buckets group blocks by (phi name, layer count, act structure); widths
+    Buckets group blocks by (phi family, layer count, act structure); widths
     inside a bucket are padded to the max.  Each bucket is one SPMD program
-    with its block axis sharded over the mesh.
+    with its block axis sharded over the mesh.  Buckets advance in LOCKSTEP
+    between checkpoints, so a checkpoint callback always sees the whole
+    fleet at the same step — the reference's children all checkpoint at the
+    same step numbers too (main.py:585-607).
     """
 
     def __init__(self, mesh=None, seed: int = 42):
         self.mesh = mesh if mesh is not None else make_mesh(
             n_block_shards=len(jax.devices()))
         self.seed = seed
+        self._states: List[_BucketState] = []
 
     def train(self, blocks: List[Dict], compress_cfg, max_steps: int,
               checkpoint_cb=None, checkpoints: Optional[List[int]] = None,
@@ -310,7 +333,10 @@ class BlockFleetTrainer:
         name, sideinfos.  Returns blocks with 'params' attached.
 
         compress_cfg: the Compress config node (sampler, loss, lr, ...).
+        checkpoint_cb(step, blocks, per_block_params) fires at every entry
+        of `checkpoints` with the FULL fleet (all buckets).
         """
+        cc = compress_cfg
         # bucket by stackable signature
         buckets: Dict[tuple, List[int]] = {}
         for i, blk in enumerate(blocks):
@@ -318,84 +344,103 @@ class BlockFleetTrainer:
             meta = tuple((e.act, e.w0, e.kind) for e in m.spec.entries)
             sig = (type(m).__name__, len(m.spec.entries), meta)
             buckets.setdefault(sig, []).append(i)
+        self._states = [self._prepare_bucket(blocks, idxs, cc)
+                        for idxs in buckets.values()]
 
-        for sig, idxs in buckets.items():
-            self._train_bucket([blocks[i] for i in idxs], compress_cfg,
-                               max_steps, checkpoint_cb, checkpoints,
-                               progress_cb)
+        ckpts = checkpoints or [max_steps]
+        step = 0
+        for ckpt in ckpts:
+            n = ckpt - step
+            if n > 0:
+                last_losses = []
+                for st in self._states:
+                    last_losses.append(self._run_segment(st, cc, n))
+                if progress_cb is not None:
+                    progress_cb(ckpt, np.concatenate(last_losses))
+            step = ckpt
+            if checkpoint_cb is not None:
+                checkpoint_cb(step, blocks, self._fleet_params(blocks))
+        for blk, p in zip(blocks, self._fleet_params(blocks)):
+            blk["params"] = p
         return blocks
 
-    def _train_bucket(self, blocks: List[Dict], cc, max_steps: int,
-                      checkpoint_cb, checkpoints, progress_cb):
-        models = [b["model"] for b in blocks]
-        key = jax.random.PRNGKey(self.seed)
-        spec, params_layers, masks = build_stacked(models, key)
-        batch = BlockBatch.build(blocks)
+    def _prepare_bucket(self, blocks: List[Dict], idxs: List[int], cc
+                        ) -> _BucketState:
+        sub = [blocks[i] for i in idxs]
+        models = [b["model"] for b in sub]
+        spec, params_layers, masks = build_stacked(
+            models, jax.random.PRNGKey(self.seed))
+        batch = BlockBatch.build(sub)
 
-        # sampler mode: randomcube with whole-block cubes == full batch
-        sampler_name = cc.sampler.name
-        cube_voxels = int(np.prod([int(x) for x in cc.sampler.cube_len][:batch.ndim]))
-        fullbatch = sampler_name == "randomcube"
-        sample_size = int(cc.sampler.sample_size)
+        # pad the block axis to a multiple of the mesh's block shards
+        # (an SPMD axis must divide evenly; padded entries clone block 0 and
+        # are dropped by unstack/decode, which read only the first B rows)
+        nshards = int(self.mesh.shape["blocks"])
+        B = len(sub)
+        target = ((B + nshards - 1) // nshards) * nshards
+        if target > B:
+            pad = lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[:1], target - B, axis=0)], axis=0)
+            params_layers = jax.tree_util.tree_map(pad, params_layers)
+            masks = [pad(m) for m in masks]
+            batch = BlockBatch(pad(batch.data), pad(batch.weight),
+                               pad(batch.valid), pad(batch.shapes),
+                               batch.vmax, batch.ndim)
 
         tx = make_optimizer(cc.optimizer_name_phi, float(cc.lr_phi),
                             cc.lr_scheduler_phi)
         opt_state = jax.vmap(tx.init)(params_layers)
 
-        # shard the block axis
         bs = block_sharding(self.mesh)
-        rep = replicated(self.mesh)
-        nd = self.mesh.devices.size
-        put = lambda x: x  # rely on XLA propagation from data placement
-        params_layers = jax.device_put(params_layers, bs)
-        opt_state = jax.device_put(opt_state, bs)
-        masks_s = jax.device_put(masks, bs)
-        data = jax.device_put(batch.data, bs)
-        weight = jax.device_put(batch.weight, bs)
-        valid = jax.device_put(batch.valid, bs)
-        shapes = jax.device_put(batch.shapes, bs)
+        return _BucketState(
+            block_idxs=list(idxs), models=models, spec=spec,
+            params=jax.device_put(params_layers, bs),
+            opt_state=jax.device_put(opt_state, bs),
+            masks=jax.device_put(masks, bs),
+            batch=batch,
+            data=jax.device_put(batch.data, bs),
+            weight=jax.device_put(batch.weight, bs),
+            valid=jax.device_put(batch.valid, bs),
+            shapes=jax.device_put(batch.shapes, bs),
+            tx=tx, key=jax.random.PRNGKey(self.seed + 1),
+            thres=float(sub[0].get("weight_thres_norm", 0.0)))
 
-        thres = float(blocks[0].get("weight_thres_norm", 0.0))
-        ckpts = checkpoints or [max_steps]
-        key = jax.random.PRNGKey(self.seed + 1)
-        step = 0
-        for ckpt in ckpts:
-            n = ckpt - step
-            if n > 0:
-                key, seg = jax.random.split(key)
-                params_layers, opt_state, losses = run_block_segment(
-                    params_layers, opt_state, masks_s, data, weight, valid,
-                    shapes, seg, spec=spec, tx=tx,
-                    loss_name=cc.loss.name,
-                    beta=float(cc.loss.get("beta", 0.01)),
-                    weight_thres=thres, n_steps=n, sample_size=sample_size,
-                    coords_mode=cc.coords_mode, half=bool(cc.half),
-                    fullbatch=fullbatch)
-                if progress_cb is not None:
-                    progress_cb(ckpt, np.asarray(losses[-1]))
-            step = ckpt
-            if checkpoint_cb is not None:
-                per_block = unstack_params(params_layers, models)
-                checkpoint_cb(step, blocks, per_block)
-        # attach final params
-        per_block = unstack_params(params_layers, models)
-        for blk, p in zip(blocks, per_block):
-            blk["params"] = p
-        self._last = (spec, params_layers, masks_s, shapes, batch)
+    def _run_segment(self, st: _BucketState, cc, n_steps: int) -> np.ndarray:
+        """Advance one bucket n_steps; returns last-step per-block losses."""
+        fullbatch = cc.sampler.name == "randomcube"
+        st.key, seg = jax.random.split(st.key)
+        st.params, st.opt_state, losses = run_block_segment(
+            st.params, st.opt_state, st.masks, st.data, st.weight, st.valid,
+            st.shapes, seg, spec=st.spec, tx=st.tx, loss_name=cc.loss.name,
+            beta=float(cc.loss.get("beta", 0.01)), weight_thres=st.thres,
+            n_steps=n_steps, sample_size=int(cc.sampler.sample_size),
+            coords_mode=cc.coords_mode, half=bool(cc.half),
+            fullbatch=fullbatch)
+        return np.asarray(losses[-1])[:len(st.models)]  # drop pad blocks
 
-    def decode(self, blocks: List[Dict], cc, decompress_cfg) -> List[np.ndarray]:
+    def _fleet_params(self, blocks: List[Dict]) -> List[Dict]:
+        """Per-block true-width params for the whole fleet, in block order."""
+        out: List[Optional[Dict]] = [None] * len(blocks)
+        for st in self._states:
+            for bi, p in zip(st.block_idxs,
+                             unstack_params(st.params, st.models)):
+                out[bi] = p
+        return out
+
+    def decode(self, blocks: List[Dict], cc, decompress_cfg
+               ) -> List[np.ndarray]:
         """Decode every block (vmapped padded grid inference) and return
-        per-block float32 arrays in their true shapes."""
-        spec, params_layers, masks_s, shapes, batch = self._last
-        slab = max(128, min(1 << 15, batch.vmax))
-        slab = ((slab + 127) // 128) * 128
-        out = decode_blocks(params_layers, masks_s, shapes, spec=spec,
-                            slab=slab, coords_mode=cc.coords_mode,
-                            half=bool(cc.half), vmax=batch.vmax)
-        out = np.asarray(out, np.float32)
-        results = []
-        for i, blk in enumerate(blocks):
-            shape = blk["data_norm"].shape
-            v = int(np.prod(shape[:-1]))
-            results.append(out[i, :v].reshape(shape))
+        per-block float32 arrays in their true shapes, in block order."""
+        results: List[Optional[np.ndarray]] = [None] * len(blocks)
+        for st in self._states:
+            slab = max(128, min(1 << 15, st.batch.vmax))
+            slab = ((slab + 127) // 128) * 128
+            out = decode_blocks(st.params, st.masks, st.shapes, spec=st.spec,
+                                slab=slab, coords_mode=cc.coords_mode,
+                                half=bool(cc.half), vmax=st.batch.vmax)
+            out = np.asarray(out, np.float32)
+            for i, bi in enumerate(st.block_idxs):
+                shape = blocks[bi]["data_norm"].shape
+                v = int(np.prod(shape[:-1]))
+                results[bi] = out[i, :v].reshape(shape)
         return results

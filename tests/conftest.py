@@ -6,11 +6,19 @@ multi-chip path).  These env vars must be set before jax is imported.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env may pin JAX_PLATFORMS to a TPU platform (e.g.
+# "axon"), which would defeat the virtual 8-device mesh below.  A
+# sitecustomize may have imported jax already (capturing the env at import
+# time), so update the live jax config as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

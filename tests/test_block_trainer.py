@@ -123,8 +123,8 @@ lr_scheduler_phi: {name: none}
         mesh = make_mesh()
         trainer = BlockFleetTrainer(mesh=mesh, seed=0)
         trainer.train(blocks, self._cc(), max_steps=10, checkpoints=[10])
-        spec, params_layers, *_ = trainer._last
-        sharding = params_layers[0]["w"].sharding
+        (state,) = trainer._states
+        sharding = state.params[0]["w"].sharding
         assert len(sharding.device_set) == 8
 
 
