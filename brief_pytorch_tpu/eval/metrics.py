@@ -82,9 +82,15 @@ def _ssim2d(x: jnp.ndarray, y: jnp.ndarray, data_range: float,
 def cal_ssim(origin: np.ndarray, decompressed: np.ndarray, data_range: float,
              slice_batch: int = 64) -> float:
     """SSIM; 3-D (d,h,w,c) volumes -> mean of per-depth-slice 2-D SSIM
-    (reference utils/misc.py:458-475)."""
-    a = np.asarray(origin, np.float32)
-    b = np.asarray(decompressed, np.float32)
+    (reference utils/misc.py:458-475).
+
+    Inputs are pre-scaled by data_range (SSIM is scale-invariant when the
+    range is scaled too): uint16 intensities squared overflow float32
+    precision in the E[x^2]-E[x]^2 variance, which can push SSIM past 1.
+    """
+    a = np.asarray(origin, np.float32) / data_range
+    b = np.asarray(decompressed, np.float32) / data_range
+    data_range = 1.0
     if a.ndim == 3:  # (h, w, c) -> (1, c, h, w)
         x = jnp.asarray(a.transpose(2, 0, 1)[None])
         y = jnp.asarray(b.transpose(2, 0, 1)[None])

@@ -82,8 +82,9 @@ class Queue:
         pass
 
     def status_table(self) -> str:
+        # finish_list/error_list hold the same Task objects as task_list
         rows = ["name        status   retries"]
-        for t in self.task_list + self.finish_list + self.error_list:
+        for t in self.task_list:
             rows.append(f"{t.name:<12}{t.status:<9}{t.ets}")
         return "\n".join(rows)
 
