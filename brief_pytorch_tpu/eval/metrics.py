@@ -60,23 +60,39 @@ def _filter_sep2d(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-@partial(jax.jit, static_argnames=("win_size",))
-def _ssim2d(x: jnp.ndarray, y: jnp.ndarray, data_range: float,
-            win_size: int = 11) -> jnp.ndarray:
-    """SSIM of (n, c, h, w) pairs; returns scalar mean over batch+channels."""
+def _ssim_map(x: jnp.ndarray, y: jnp.ndarray, data_range: float,
+              win_size: int = 11) -> jnp.ndarray:
+    """Per-pixel SSIM of (n, c, h, w) pairs.
+
+    Float32-robust formulation: the textbook E[x^2] - mu^2 variance goes
+    (slightly) negative in near-flat windows under float32, and when the
+    other image is constant (sigma2 = 0) the contrast term C2/(s1+C2)
+    blows past 1 (observed 1.16 on an early-training constant decode).
+    Centering by the global mean before the variance convolutions is
+    mathematically identical but numerically stable; variances are clamped
+    at 0, which bounds the map at ~1.
+    """
     K1, K2 = 0.01, 0.03
     C1 = (K1 * data_range) ** 2
     C2 = (K2 * data_range) ** 2
     win = _gauss_kernel1d(win_size, 1.5)
+    m = 0.5 * (x.mean() + y.mean())
+    xc, yc = x - m, y - m
     mu1 = _filter_sep2d(x, win)
     mu2 = _filter_sep2d(y, win)
-    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _filter_sep2d(x * x, win) - mu1_sq
-    s2 = _filter_sep2d(y * y, win) - mu2_sq
-    s12 = _filter_sep2d(x * y, win) - mu1_mu2
+    mu1c, mu2c = mu1 - m, mu2 - m
+    s1 = jnp.maximum(_filter_sep2d(xc * xc, win) - mu1c * mu1c, 0.0)
+    s2 = jnp.maximum(_filter_sep2d(yc * yc, win) - mu2c * mu2c, 0.0)
+    s12 = _filter_sep2d(xc * yc, win) - mu1c * mu2c
     cs = (2 * s12 + C2) / (s1 + s2 + C2)
-    ssim_map = ((2 * mu1_mu2 + C1) / (mu1_sq + mu2_sq + C1)) * cs
-    return ssim_map.mean()
+    return ((2 * mu1 * mu2 + C1) / (mu1 * mu1 + mu2 * mu2 + C1)) * cs
+
+
+@partial(jax.jit, static_argnames=("win_size",))
+def _ssim2d(x: jnp.ndarray, y: jnp.ndarray, data_range: float,
+            win_size: int = 11) -> jnp.ndarray:
+    """SSIM of (n, c, h, w) pairs; returns scalar mean over batch+channels."""
+    return _ssim_map(x, y, data_range, win_size).mean()
 
 
 def cal_ssim(origin: np.ndarray, decompressed: np.ndarray, data_range: float,
@@ -110,19 +126,7 @@ def cal_ssim(origin: np.ndarray, decompressed: np.ndarray, data_range: float,
 @jax.jit
 def _ssim2d_batch_sum(x, y, data_range):
     """Sum of per-image SSIM over the batch (per-slice means, then sum)."""
-    K1, K2 = 0.01, 0.03
-    C1 = (K1 * data_range) ** 2
-    C2 = (K2 * data_range) ** 2
-    win = _gauss_kernel1d()
-    mu1 = _filter_sep2d(x, win)
-    mu2 = _filter_sep2d(y, win)
-    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _filter_sep2d(x * x, win) - mu1_sq
-    s2 = _filter_sep2d(y * y, win) - mu2_sq
-    s12 = _filter_sep2d(x * y, win) - mu1_mu2
-    cs = (2 * s12 + C2) / (s1 + s2 + C2)
-    ssim_map = ((2 * mu1_mu2 + C1) / (mu1_sq + mu2_sq + C1)) * cs
-    return ssim_map.mean(axis=(1, 2, 3)).sum()
+    return _ssim_map(x, y, data_range).mean(axis=(1, 2, 3)).sum()
 
 
 def eval_performance(steps: int, data1: np.ndarray, data2: np.ndarray,

@@ -48,3 +48,21 @@ def test_eval_performance_keys():
     out = eval_performance(10, a, a, None, True, True, True)
     assert set(out) == {"steps", "mse", "psnr", "ssim"}
     assert out["mse"] == 0.0
+
+
+def test_ssim_constant_reconstruction_bounded():
+    """Regression: near-flat windows + a constant reconstruction drove the
+    float32 variance negative -> contrast term C2/(s1+C2) > 1 -> SSIM 1.16."""
+    from brief_pytorch_tpu.io.image import read_img
+    import os
+    fix = "/root/reference/dataset/brain/64x64x64/brain-64_128-64_128-192_256.tif"
+    if os.path.exists(fix):
+        a = read_img(fix)
+    else:
+        rng = np.random.default_rng(0)
+        z = np.linspace(16633, 24070, 64, dtype=np.float32)
+        a = (z[:, None, None, None] + rng.normal(0, 30, (64, 64, 64, 1))
+             ).astype(np.uint16)
+    b = np.full_like(a, 17165)
+    s = cal_ssim(a, b, 65535)
+    assert s <= 1.0 + 1e-3, s
