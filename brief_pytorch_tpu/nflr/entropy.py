@@ -146,8 +146,10 @@ def quantile_loss(params: Dict, tail_mass: float = 1e-9) -> jnp.ndarray:
     Networks.py:1070-1074)."""
     logits = _logits_cumulative(params, params["quantiles"],
                                 stop_gradient=True)
-    t = jnp.asarray([tail_mass / 2, 0.5, 1 - tail_mass / 2], jnp.float32)
-    targets = jnp.log(t / (1 - t))
+    # log(t/(1-t)) computed in python float64: 1 - tail_mass/2 rounds to
+    # exactly 1.0 in float32, which made the top target infinite.
+    edge = math.log(tail_mass / 2) - math.log1p(-tail_mass / 2)
+    targets = jnp.asarray([edge, 0.0, -edge], jnp.float32)
     return jnp.abs(logits - targets[None, None, :]).sum()
 
 
@@ -185,7 +187,7 @@ def factorized_compress(params: Dict, tables: Dict, y: np.ndarray
     n, c = y.shape[0], y.shape[1]
     spatial = int(np.prod(y.shape[2:]))
     med = tables["medians"].reshape(1, c, *([1] * (y.ndim - 2)))
-    q = np.round(y - med).astype(np.int64)
+    q = np.round(np.nan_to_num(y - med)).astype(np.int64)
     strings = []
     ch_idx = np.repeat(np.arange(c), spatial)
     n_syms_per_ch = [len(t) - 1 for t in tables["cdfs"]]
@@ -277,7 +279,7 @@ def gaussian_compress(tables: GaussianTables, y: np.ndarray,
     y = np.asarray(y, np.float64)
     if means is not None:
         y = y - np.asarray(means, np.float64)
-    q = np.round(y).astype(np.int64)
+    q = np.round(np.nan_to_num(y)).astype(np.int64)
     strings = []
     n_syms = np.asarray([len(c) - 1 for c in tables.cdfs])
     for i in range(y.shape[0]):
