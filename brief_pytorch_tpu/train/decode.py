@@ -59,3 +59,19 @@ def reconstruct_flattened(apply_fn: Callable, params, data_shape: Sequence[int],
     flat = _decode_scan(params, apply_fn, tuple(spatial), c, slab,
                         coords_mode, compute_dtype)
     return np.asarray(flat, dtype=np.float32).reshape(*spatial, c)
+
+
+def fused_apply_or(model, default_apply: Callable, use_pallas: bool = True
+                   ) -> Callable:
+    """Return the Pallas fused-chain apply for `model` when it is supported
+    and requested, else `default_apply` (see ops/pallas_siren.py)."""
+    if not use_pallas:
+        return default_apply
+    try:
+        from brief_pytorch_tpu.ops import pallas_siren
+        if pallas_siren.supports(model) and \
+                jax.devices()[0].platform not in ("cpu",):
+            return pallas_siren.make_fused_apply(model)
+    except Exception:
+        pass
+    return default_apply
