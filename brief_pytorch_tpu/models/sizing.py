@@ -293,3 +293,21 @@ def _clean(cfg: dict) -> dict:
     """Drop keys that would shadow explicit arguments."""
     return {k: v for k, v in cfg.items()
             if k not in ("name", "features", "param_count")}
+
+
+def calc_phi_hyperparam(param_count: float, name: str, layers: int,
+                        coords_channel: int = 3, data_channel: int = 1,
+                        res: bool = False, frequencies: int = 10,
+                        skip: bool = True, embsize: int = 256, **kwargs
+                        ) -> int:
+    """Standalone feature solver (reference utils/Networks.py:857-927).
+
+    Delegates to the per-family solvers above.  Note: the reference's
+    standalone function swaps the MFNFourier/MFNGabor coefficient formulas
+    relative to its own class statics (Networks.py:717-727 vs 902-915); the
+    class statics are the ones used by the sizing path, so we follow those.
+    """
+    solver = ALL_CALC_PHI_FEATURES[name]
+    return int(solver(param_count, coords_channel=coords_channel,
+                      data_channel=data_channel, layers=layers, res=res,
+                      frequencies=frequencies, skip=skip, embsize=embsize))

@@ -1,0 +1,138 @@
+"""Data-parallel single-INR training: coordinate batch sharded over chips.
+
+The reference has no in-process multi-GPU path at all (SURVEY.md §2.3); its
+only parallelism is one OS process per block.  For a single LARGE volume
+(one network, billions of voxels) the TPU-native scaling axis is the
+coordinate batch: the flattened volume is sharded over the mesh's 'data'
+axis, every chip samples voxel batches from its own shard (equal-size
+shards => statistically uniform global sampling), computes local gradients,
+and gradients are averaged with one psum over ICI per step.  Parameters and
+optimizer state stay replicated and bit-identical across chips (the psum'd
+update is deterministic), so no parameter broadcast is ever needed.
+
+Implemented with shard_map over a jax.sharding.Mesh so the collective is
+explicit (jax.lax.pmean on the 'data' axis); the whole multi-step segment
+is one lax.scan under jit, like train/fit.py's single-chip path.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from brief_pytorch_tpu.core.coords import index_to_coords
+from brief_pytorch_tpu.train.loss import make_loss
+from brief_pytorch_tpu.train.optim import make_optimizer
+
+
+def _pad_to_multiple(arr: np.ndarray, m: int) -> np.ndarray:
+    n = arr.shape[0]
+    target = ((n + m - 1) // m) * m
+    if target == n:
+        return arr
+    reps = np.repeat(arr[:1], target - n, axis=0)
+    return np.concatenate([arr, reps], axis=0)
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "model", "spatial_shape", "coords_mode",
+                          "tx", "loss_name", "beta", "weight_thres",
+                          "n_steps", "local_batch", "half"))
+def _dp_segment(params, opt_state, data_sharded, weight_sharded, key, *,
+                mesh, model, spatial_shape, coords_mode, tx, loss_name,
+                beta, weight_thres, n_steps, local_batch, half):
+    loss_fn = make_loss(loss_name, beta)
+    compute_dtype = jnp.bfloat16 if half else None
+    ndata = mesh.shape["data"]
+    pop = data_sharded.shape[0]
+    local_pop = pop // ndata
+
+    def shard_body(params, opt_state, local_data, local_weight, key):
+        rank = jax.lax.axis_index("data")
+
+        def step_fn(carry, k):
+            params, opt_state = carry
+
+            def loss_f(p):
+                kk = jax.random.fold_in(k, rank)
+                idx = jax.random.randint(kk, (local_batch,), 0, local_pop)
+                vals = local_data[idx]
+                wts = local_weight[idx]
+                gidx = rank * local_pop + idx
+                coords = index_to_coords(gidx, spatial_shape, coords_mode,
+                                         vals.dtype)
+                pred = model.apply(p, coords, compute_dtype=compute_dtype)
+                return loss_fn(vals, pred.astype(vals.dtype), wts,
+                               weight_thres)
+
+            loss, grads = jax.value_and_grad(loss_f)(params)
+            # ONE collective per step: average grads (and loss) over ICI
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        keys = jax.random.split(key, n_steps)
+        (params, opt_state), losses = jax.lax.scan(
+            step_fn, (params, opt_state), keys)
+        return params, opt_state, losses
+
+    return shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P()),
+        out_specs=(P(), P(), P()),
+    )(params, opt_state, data_sharded, weight_sharded, key)
+
+
+class DataParallelTrainer:
+    """Train ONE phi network with the coordinate batch sharded over the
+    mesh's 'data' axis."""
+
+    def __init__(self, mesh, model, seed: int = 42):
+        assert "data" in mesh.axis_names, mesh
+        self.mesh = mesh
+        self.model = model
+        self.seed = seed
+        self.ndata = int(mesh.shape["data"])
+
+    def shard_volume(self, data_norm: np.ndarray, weight: np.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[int, ...]]:
+        """Flatten (*spatial, c) -> (pop, c) padded to the shard count and
+        placed with the leading axis split over 'data'."""
+        spatial = tuple(int(s) for s in data_norm.shape[:-1])
+        c = data_norm.shape[-1]
+        flat = _pad_to_multiple(
+            np.asarray(data_norm, np.float32).reshape(-1, c), self.ndata)
+        wflat = _pad_to_multiple(
+            np.asarray(weight, np.float32).reshape(-1, c), self.ndata)
+        sh = NamedSharding(self.mesh, P("data"))
+        return (jax.device_put(flat, sh), jax.device_put(wflat, sh), spatial)
+
+    def fit(self, params, data_norm: np.ndarray, weight: np.ndarray,
+            compress_cfg, n_steps: int, opt_state=None):
+        """Run n_steps; returns (params, opt_state, per-step losses)."""
+        cc = compress_cfg
+        data_s, weight_s, spatial = self.shard_volume(data_norm, weight)
+        tx = make_optimizer(cc.optimizer_name_phi, float(cc.lr_phi),
+                            cc.lr_scheduler_phi)
+        if opt_state is None:
+            opt_state = tx.init(params)
+        rep = NamedSharding(self.mesh, P())
+        params = jax.device_put(params, rep)
+        opt_state = jax.device_put(opt_state, rep)
+        local_batch = max(1, int(cc.sampler.sample_size) // self.ndata)
+        params, opt_state, losses = _dp_segment(
+            params, opt_state, data_s, weight_s,
+            jax.random.PRNGKey(self.seed), mesh=self.mesh, model=self.model,
+            spatial_shape=spatial, coords_mode=cc.coords_mode, tx=tx,
+            loss_name=cc.loss.name, beta=float(cc.loss.get("beta", 0.01)),
+            weight_thres=float(cc.loss.get("weight_thres", 0) or 0),
+            n_steps=n_steps, local_batch=local_batch, half=bool(cc.half))
+        return params, opt_state, np.asarray(losses)
