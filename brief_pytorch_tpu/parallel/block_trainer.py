@@ -72,10 +72,15 @@ def _layer_meta(spec: ChainSpec):
     return out
 
 
-def build_stacked(models: Sequence[_ChainModel], key) -> Tuple[
+def build_stacked(models: Sequence[_ChainModel], key,
+                  init_layers_list: Optional[Sequence] = None) -> Tuple[
         StackedChainSpec, List[Dict], List[jnp.ndarray]]:
     """Stack B chain models (same family/layer count, any widths) into
     padded leading-axis params + per-layer output masks.
+
+    init_layers_list: optional per-block warm-start layers ([{'w','b'},...]
+    from io.modelsave.load_model, reference main.py:345-354); None entries
+    get fresh init.
 
     Returns (stacked_spec, params_layers, masks) where
       params_layers[l] = {'w': (B, in_max, out_max), 'b': (B, out_max)}
@@ -104,8 +109,13 @@ def build_stacked(models: Sequence[_ChainModel], key) -> Tuple[
         m = np.zeros((B, out_max), np.float32)
         for bi, meta in enumerate(metas):
             fi, fo, _act_, _w0_, w_init = meta[l]
-            lk = jax.random.fold_in(keys[bi], l)
-            lp = init_linear(lk, fi, fo, w_init)
+            warm = (init_layers_list[bi] if init_layers_list is not None
+                    else None)
+            if warm is not None:
+                lp = warm[l]
+            else:
+                lk = jax.random.fold_in(keys[bi], l)
+                lp = init_linear(lk, fi, fo, w_init)
             w[bi, :fi, :fo] = np.asarray(lp["w"])
             b[bi, :fo] = np.asarray(lp["b"])
             m[bi, :fo] = 1.0
@@ -369,7 +379,8 @@ class BlockFleetTrainer:
         sub = [blocks[i] for i in idxs]
         models = [b["model"] for b in sub]
         spec, params_layers, masks = build_stacked(
-            models, jax.random.PRNGKey(self.seed))
+            models, jax.random.PRNGKey(self.seed),
+            [b.get("init_layers") for b in sub])
         batch = BlockBatch.build(sub)
 
         # pad the block axis to a multiple of the mesh's block shards

@@ -128,26 +128,56 @@ def compress_divide(opt, log, args=None) -> Dict:
                          cf_opt.Compress.divide.param_alloc,
                          cf_opt.Compress.divide.param_size_thres)
 
+    # per-chunk config exceptions (reference main.py:535-537, 568-569):
+    # overrides merged into THAT chunk's effective config.  Per-block
+    # overrides that affect preparation (param budget, loss weights,
+    # normalisation, phi family/width, warm start) are honoured; fleet-wide
+    # step hyperparameters (sampler, lr, max_steps) come from the base
+    # config since all blocks advance in one SPMD program.
+    exception_opt = cf_opt.Compress.divide.exception
+    if exception_opt == "none" or exception_opt is None:
+        exception_opt = {}
+
     # per-block preparation (what each reference child process did on its own)
     blocks: List[Dict] = []
     for chunk in chunks:
         blk = dict(chunk)
+        blk_opt = cf_opt
+        if chunk["name"] in exception_opt:
+            blk_opt = cfglib.merge(cf_opt,
+                                   dict(exception_opt[chunk["name"]]))
+            if any(k in exception_opt[chunk["name"]].get("Compress", {})
+                   for k in ("sampler", "max_steps", "lr_phi",
+                             "optimizer_name_phi")):
+                import logging
+                logging.warning(
+                    "exception for %s overrides fleet-wide step params; "
+                    "those stay at the base config under SPMD training",
+                    chunk["name"])
         chunk_pre = chunk["data"]
-        blk["weight"] = parse_weight(chunk_pre, cf_opt.Compress.loss.weight)
-        data_norm, side = normalize_data(chunk_pre, **cf_opt.Normalize)
+        blk["weight"] = parse_weight(chunk_pre, blk_opt.Compress.loss.weight)
+        data_norm, side = normalize_data(chunk_pre, **blk_opt.Normalize)
         blk["data_norm"] = data_norm
-        half = bool(cf_opt.Compress.half)
-        phi_cfg = dict(cf_opt.Module.phi)
+        half = bool(blk_opt.Compress.half)
+        given = blk_opt.Compress.param.given_size
+        budget = float(given) if chunk["name"] in exception_opt and given > 0 \
+            else chunk["param_size"]
+        phi_cfg = dict(blk_opt.Module.phi)
         features, count, theory = sizing.estimate_module_size(
-            chunk["param_size"], phi_cfg, half)
+            budget, phi_cfg, half)
         phi_cfg["features"] = features
         blk["model"] = init_phi(phi_cfg)
+        init_net = blk_opt.Compress.param.get("init_net_path", "none")
+        if init_net and init_net != "none":  # per-block warm start
+            from brief_pytorch_tpu.io.modelsave import load_model
+            blk["init_layers"] = load_model(init_net)
         blk["theory_module_size"] = theory
         blk["sideinfos"] = {**side, "data_shape": list(data_norm.shape),
                             "phi_features": features,
                             "phi_name": phi_cfg["name"]}
-        thres = cf_opt.Compress.loss.weight_thres
-        tn, _ = normalize_data(np.array(thres, np.float32), **cf_opt.Normalize,
+        thres = blk_opt.Compress.loss.weight_thres
+        tn, _ = normalize_data(np.array(thres, np.float32),
+                               **blk_opt.Normalize,
                                min=side["min"], max=side["max"])
         blk["weight_thres_norm"] = float(tn)
         blocks.append(blk)

@@ -1,0 +1,132 @@
+"""DivideTask orchestration: end-to-end pipeline, exception overrides,
+warm start, half (bf16) mode.  (reference main.py:509-651 semantics)"""
+import os
+
+import numpy as np
+import pytest
+
+from brief_pytorch_tpu.core import config as cfglib
+from brief_pytorch_tpu.utils.logger import MyLogger
+
+
+def _opt(data_path, outputs_dir, **compress_over):
+    opt = cfglib.loads(f"""
+Reproduc: {{seed: 42, benchmark: false, deterministic: true}}
+Dataset: {{data_path: "{data_path}"}}
+Log: {{outputs_dir: "{outputs_dir}", project_name: dv, stdlog: false,
+      tensorboard: false, time: false}}
+CompressFramework:
+  Name: NFGR
+  Compress:
+    divide: {{divide_type: total_2_2_2, param_alloc: by_size,
+             param_size_thres: 26, exception: none}}
+    half: false
+    sampler: {{name: randompoint, cube_count: 1,
+              cube_len: [10000000,10000000,10000000], sample_size: 2048,
+              gpu_force: true}}
+    coords_mode: "-1,1"
+    preprocess:
+      denoise: {{level: 0, close: [2,2,2]}}
+      clip: [0, 65535]
+    param: {{init_net_path: none, filesize_ratio: 80, given_size: 0}}
+    loss: {{name: datal2, beta: 0.01, weight: [value_65535_65535_1],
+           weight_thres: 65535}}
+    gpu: true
+    max_steps: 60
+    checkpoints: none
+    loss_log_freq: 20
+    lr_phi: 0.001
+    optimizer_name_phi: Adamax
+    lr_scheduler_phi: {{name: none}}
+    decompress: true
+  Decompress:
+    sample_size: 4096
+    gpu: true
+    postprocess:
+      denoise: {{level: 0, close: [2,2,2]}}
+      clip: [0, 65535]
+    keep_decompressed: true
+    mip: false
+    mse: true
+    psnr: true
+    ssim: false
+  Module:
+    phi: {{name: SIREN, coords_channel: 3, data_channel: 1, layers: 5,
+          w0: 20, output_act: false, res: false}}
+  Normalize: {{name: minmaxany_0_100}}
+""")
+    for k, v in compress_over.items():
+        opt.CompressFramework.Compress[k] = v
+    return opt
+
+
+def test_divide_pipeline_artifacts(brain64_path, tmp_path):
+    from brief_pytorch_tpu.parallel.divide_runner import compress_divide
+    opt = _opt(brain64_path, str(tmp_path))
+    log = MyLogger(**opt.Log.to_plain())
+    res = compress_divide(opt, log)
+    assert res["psnr"] > 20
+    step = os.path.join(log.logdir, "steps60")
+    mods = os.listdir(os.path.join(step, "compressed", "module"))
+    assert len(mods) == 8 and all(m.startswith("d_") for m in mods)
+    # raw-binary weight files inside each chunk module dir
+    files = os.listdir(os.path.join(step, "compressed", "module", mods[0],
+                                    "module"))
+    assert any(f.startswith("weight-0-") for f in files)
+
+
+def test_exception_override_changes_block_budget(brain64_path, tmp_path):
+    """A per-chunk exception (reference main.py:568-569) with a bigger
+    given_size must produce a wider network for that chunk only."""
+    from brief_pytorch_tpu.parallel.divide_runner import compress_divide
+    name = "d_0_31-h_0_31-w_0_31"
+    opt = _opt(brain64_path, str(tmp_path))
+    opt.CompressFramework.Compress.divide.exception = {
+        name: {"Compress": {"param": {"given_size": 20000,
+                                      "filesize_ratio": 0}}}}
+    log = MyLogger(**opt.Log.to_plain())
+    compress_divide(opt, log)
+    import yaml
+    step = os.path.join(log.logdir, "steps60")
+    side_dir = os.path.join(step, "compressed", "sideinfos")
+    feats = {}
+    for m in os.listdir(side_dir):
+        with open(os.path.join(side_dir, m, "sideinfos.yaml")) as f:
+            feats[m] = yaml.safe_load(f)["phi_features"]
+    others = [v for k, v in feats.items() if k != name]
+    assert feats[name] > max(others)
+
+
+def test_half_mode_end_to_end(brain64_path, tmp_path):
+    """bf16 compute path (reference 'half', main.py:388-398) trains and
+    decodes to sane quality; theory size uses 2 bytes/param."""
+    from brief_pytorch_tpu.train.fit import NFGR
+    opt = _opt(brain64_path, str(tmp_path), half=True)
+    opt.CompressFramework.Compress.divide.divide_type = "none"
+    opt.CompressFramework.Compress.max_steps = 200
+    log = MyLogger(**opt.Log.to_plain())
+    cf = NFGR(opt.CompressFramework, logger=log, seed=42)
+    res = cf.compress(brain64_path)
+    assert res["psnr"] > 20
+    # 2-bytes-per-param accounting packs ~2x the params into the same byte
+    # budget: theory ratio stays ~80, while the f32 raw-binary payload makes
+    # the actual ratio about half that (exactly like the reference, which
+    # also writes float32 in half mode, ModelSave.py:45 vs main.py:217).
+    assert abs(res["compress_ratio/theory"] - 80) / 80 < 0.07
+    assert res["compress_ratio/actual"] < 0.7 * res["compress_ratio/theory"]
+
+
+def test_warm_start_resumes_block(brain64_path, tmp_path):
+    """init_net_path warm start: a fleet initialised from trained weights
+    starts at a much lower loss than a cold fleet."""
+    from brief_pytorch_tpu.parallel.divide_runner import compress_divide
+    opt = _opt(brain64_path, str(tmp_path / "a"))
+    log = MyLogger(**opt.Log.to_plain())
+    compress_divide(opt, log)
+    step = os.path.join(log.logdir, "steps60")
+    name = "d_0_31-h_0_31-w_0_31"
+    trained = os.path.join(step, "compressed", "module", name, "module")
+
+    from brief_pytorch_tpu.io.modelsave import load_model
+    layers = load_model(trained)
+    assert layers[0]["w"].shape[0] == 3  # (in, out) layout restored
