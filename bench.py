@@ -56,19 +56,26 @@ def main():
     kwargs = dict(weight_thres=100.0, model=model, sampler=sampler, tx=tx,
                   loss_name="datal2", beta=0.01, half=False)
 
-    # warmup/compile
-    params, opt_state, _ = run_segment(params, opt_state, dev_data, dev_weight,
-                                       jax.random.PRNGKey(0), n_steps=10,
-                                       **kwargs)
-    jax.block_until_ready(params)
-
+    # warmup/compile with the SAME n_steps as the timed run: run_segment is
+    # jitted with static n_steps, so a different warmup length would leave
+    # the timed call to pay the scan's compile time (which at these model
+    # sizes dwarfs the actual training) — steady-state throughput is what
+    # the metric is defined as.
     n_steps = 2000
-    t0 = time.perf_counter()
     params, opt_state, losses = run_segment(params, opt_state, dev_data,
-                                            dev_weight, jax.random.PRNGKey(1),
+                                            dev_weight, jax.random.PRNGKey(0),
                                             n_steps=n_steps, **kwargs)
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
+    np.asarray(losses)  # full sync
+
+    dt = float("inf")
+    for rep in range(2):
+        t0 = time.perf_counter()
+        params, opt_state, losses = run_segment(params, opt_state, dev_data,
+                                                dev_weight,
+                                                jax.random.PRNGKey(1 + rep),
+                                                n_steps=n_steps, **kwargs)
+        np.asarray(losses)  # full sync
+        dt = min(dt, time.perf_counter() - t0)
 
     coords_per_step = 64 * 64 * 64
     coords_per_sec = n_steps * coords_per_step / dt

@@ -1,0 +1,280 @@
+"""Pallas TPU kernel: fully fused train-step gradients for sine-MLP chains.
+
+Why: the INR fitting hot loop (reference main.py:385-453) is a chain of
+*narrow* matmuls — features f ~ 8..300 — over huge coordinate batches.  In
+batch-major (N, f) layout XLA pads the minor dim to 128 lanes, so every
+activation tensor occupies 128/f times its logical size in HBM, and the
+autodiff backward re-reads all of them: at f=22 the measured step is ~6x
+slower than the same FLOPs at f=128.  This kernel removes the pathology:
+
+  * FEATURE-MAJOR layout (f, N): batch rides the 128-wide lane dimension,
+    features ride sublanes — zero lane padding regardless of f;
+  * the entire forward, loss, and backward run in ONE kernel with all
+    activations held in VMEM scratch — HBM traffic per step is just the
+    (C+2*Cout, N) input batch plus the O(f^2) weight/grad tensors;
+  * weight gradients are accumulated across the batch grid in the output
+    block (TPU grids iterate sequentially), so dW = h^T g becomes a
+    well-shaped (f, tile) x (tile, f) contraction over lanes.
+
+Losses: datal2 / datasmoothl1 with per-voxel weights and the weight_thres
+override, exactly matching train/loss.py (reference main.py:171-197).
+Supports the plain chains of models/phi.py (acts in {sine, relu, sigmoid,
+none}); res/skip/encoder variants fall back to the XLA path.
+
+Returns (loss, grads) directly — it replaces jax.value_and_grad in
+train/fit.run_segment.  Verified against the XLA path in
+tests/test_pallas_train.py (interpret mode on CPU, tight tolerances).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from brief_pytorch_tpu.ops.pallas_siren import (LayerSpec, _HAS_PALLAS,
+                                                chain_layer_specs)
+
+if _HAS_PALLAS:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _act_fm(z, act: str, w0: float):
+    if act == "sine":
+        return jnp.sin(w0 * z)
+    if act == "relu":
+        return jnp.maximum(z, 0.0)
+    if act == "sigmoid":
+        return jax.nn.sigmoid(z)
+    if act == "none":
+        return z
+    raise ValueError(act)
+
+
+def _act_grad_fm(z, act: str, w0: float):
+    """d act(z) / dz, elementwise."""
+    if act == "sine":
+        return w0 * jnp.cos(w0 * z)
+    if act == "relu":
+        return (z > 0.0).astype(z.dtype)
+    if act == "sigmoid":
+        s = jax.nn.sigmoid(z)
+        return s * (1.0 - s)
+    if act == "none":
+        return jnp.ones_like(z)
+    raise ValueError(act)
+
+
+def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
+                       tile: int, loss_name: str, beta: float,
+                       weight_thres, compute_dtype):
+    """Kernel refs layout:
+      coords (C, tile), values (Cout, tile), weights (Cout, tile),
+      then per layer: wt (fout, fin), w (fin, fout), b (fout, 1),
+      outputs: loss (1,1) SMEM, per layer dwt (fout, fin), db (fout, 1),
+      scratch: per layer z_l (f_l, tile).
+    """
+    n_in = 3 + 3 * n_layers
+
+    def kernel(*refs):
+        coords_ref = refs[0]
+        values_ref = refs[1]
+        wt_in_refs = [refs[3 + 3 * l] for l in range(n_layers)]
+        w_in_refs = [refs[3 + 3 * l + 1] for l in range(n_layers)]
+        b_in_refs = [refs[3 + 3 * l + 2] for l in range(n_layers)]
+        loss_ref = refs[n_in]
+        dwt_refs = [refs[n_in + 1 + 2 * l] for l in range(n_layers)]
+        db_refs = [refs[n_in + 1 + 2 * l + 1] for l in range(n_layers)]
+        z_refs = list(refs[n_in + 1 + 2 * n_layers:])
+
+        i = pl.program_id(0)
+
+        # ---- forward: h_l kept implicit via stored pre-activations z_l ----
+        h = coords_ref[:]
+        for l in range(n_layers):
+            lhs = h.astype(compute_dtype) if compute_dtype else h
+            rhs = wt_in_refs[l][:]
+            z = jax.lax.dot_general(
+                rhs.astype(lhs.dtype), lhs,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b_in_refs[l][:]
+            z_refs[l][:] = z
+            act, w0 = acts[l]
+            h = _act_fm(z, act, w0)
+        pred = h  # (Cout, tile)
+
+        # ---- loss + dL/dpred (sum form; caller divides by N*Cout) ----
+        y = values_ref[:]
+        w_vox = refs[2][:]
+        # mask out batch-padding lanes (global index >= n_true)
+        gidx = (i * tile
+                + jax.lax.broadcasted_iota(jnp.int32, pred.shape, 1))
+        valid = (gidx < n_true).astype(pred.dtype)
+        if weight_thres:
+            w_eff = jnp.where(pred <= weight_thres, 1.0, w_vox)
+        else:
+            w_eff = w_vox
+        w_eff = w_eff * valid
+        e = pred - y
+        if loss_name == "datal2":
+            l_elem = e * e
+            g = 2.0 * w_eff * e
+        elif loss_name == "datasmoothl1":
+            d = jnp.abs(e)
+            l_elem = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+            g = w_eff * jnp.where(d < beta, e / beta, jnp.sign(e))
+        else:
+            raise NotImplementedError(loss_name)
+        loss_tile = jnp.sum(w_eff * l_elem)
+
+        @pl.when(i == 0)
+        def _():
+            loss_ref[0, 0] = 0.0
+            for l in range(n_layers):
+                dwt_refs[l][:] = jnp.zeros_like(dwt_refs[l])
+                db_refs[l][:] = jnp.zeros_like(db_refs[l])
+
+        loss_ref[0, 0] += loss_tile
+
+        # ---- backward (reverse chain, activations recomputed from z_l) ----
+        for l in range(n_layers - 1, -1, -1):
+            if l == 0:
+                h_prev = coords_ref[:]
+            else:
+                act_p, w0_p = acts[l - 1]
+                h_prev = _act_fm(z_refs[l - 1][:], act_p, w0_p)
+            # dWt_l = g (fout, tile) contracted with h_prev (fin, tile)
+            gl = g.astype(compute_dtype) if compute_dtype else g
+            hp = h_prev.astype(gl.dtype)
+            dwt_refs[l][:] += jax.lax.dot_general(
+                gl, hp, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            db_refs[l][:] += jnp.sum(g, axis=1, keepdims=True)
+            if l > 0:
+                g = jax.lax.dot_general(
+                    w_in_refs[l][:].astype(gl.dtype), gl,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                act_p, w0_p = acts[l - 1]
+                g = g * _act_grad_fm(z_refs[l - 1][:], act_p, w0_p)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("acts", "n_true", "tile", "loss_name", "beta",
+                              "weight_thres", "interpret", "half"))
+def _fused_grads_padded(coords_t, values_t, weights_t, wts, ws, bs,
+                        acts: LayerSpec, n_true: int, tile: int,
+                        loss_name: str, beta: float, weight_thres,
+                        interpret: bool, half: bool):
+    n_layers = len(acts)
+    c_in, n_pad = coords_t.shape
+    grid = (n_pad // tile,)
+    compute_dtype = jnp.bfloat16 if half else None
+
+    def batch_spec(rows):
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def full_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [batch_spec(coords_t.shape[0]),
+                batch_spec(values_t.shape[0]),
+                batch_spec(weights_t.shape[0])]
+    flat = [coords_t, values_t, weights_t]
+    for l in range(n_layers):
+        flat.extend([wts[l], ws[l], bs[l]])
+        in_specs.extend([full_spec(wts[l].shape), full_spec(ws[l].shape),
+                         full_spec(bs[l].shape)])
+
+    out_shape = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)]
+    for l in range(n_layers):
+        out_shape.append(jax.ShapeDtypeStruct(wts[l].shape, jnp.float32))
+        out_specs.append(full_spec(wts[l].shape))
+        out_shape.append(jax.ShapeDtypeStruct(bs[l].shape, jnp.float32))
+        out_specs.append(full_spec(bs[l].shape))
+
+    scratch = [pltpu.VMEM((wts[l].shape[0], tile), jnp.float32)
+               for l in range(n_layers)]
+
+    param_count = sum(w.size + b.size for w, b in zip(ws, bs))
+    flops = 3 * sum(2 * tile * w.shape[0] * w.shape[1] for w in ws) * grid[0]
+    outs = pl.pallas_call(
+        _make_train_kernel(acts, n_layers, n_true, tile, loss_name, beta,
+                           weight_thres, compute_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(coords_t.size + values_t.size + weights_t.size
+                            + 3 * param_count) * 4,
+            transcendentals=2 * grid[0] * tile * sum(w.shape[1] for w in ws)),
+        interpret=interpret,
+    )(*flat)
+
+    m = float(n_true * values_t.shape[0])
+    loss = outs[0][0, 0] / m
+    grads = []
+    for l in range(n_layers):
+        dwt, db = outs[1 + 2 * l], outs[2 + 2 * l]
+        grads.append({"w": dwt.T / m, "b": db[:, 0] / m})
+    return loss, grads
+
+
+def fused_train_grads(layers, coords_t, values_t, weights_t, acts: LayerSpec,
+                      *, loss_name: str, beta: float = 0.01,
+                      weight_thres=None, tile: int = DEFAULT_TILE,
+                      interpret: bool = False, half: bool = False):
+    """(loss, grads) for weighted-loss fitting of a plain activation chain.
+
+    layers: [{'w': (fin, fout), 'b': (fout,)}, ...] float32
+    coords_t: (C, N); values_t/weights_t: (Cout, N)  — feature-major.
+    grads matches the pytree structure of `layers`.
+    """
+    n = coords_t.shape[1]
+    tile = min(tile, _round_up(n, 512))
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n))
+        coords_t = jnp.pad(coords_t, pad)
+        values_t = jnp.pad(values_t, pad)
+        weights_t = jnp.pad(weights_t, pad)
+    wts = tuple(l["w"].T.astype(jnp.float32) for l in layers)
+    ws = tuple(l["w"].astype(jnp.float32) for l in layers)
+    bs = tuple(l["b"].astype(jnp.float32)[:, None] for l in layers)
+    wt_static = None if not weight_thres else float(weight_thres)
+    loss, grads = _fused_grads_padded(
+        coords_t, values_t, weights_t, wts, ws, bs, acts, n, tile,
+        loss_name, float(beta), wt_static, interpret, half)
+    return loss, {"layers": grads}
+
+
+def supports_training(model, loss_name: str) -> bool:
+    """Whether the fused train-grad kernel can run this phi model + loss."""
+    if not _HAS_PALLAS:
+        return False
+    if loss_name not in ("datal2", "datasmoothl1"):
+        return False
+    spec = getattr(model, "spec", None)
+    if spec is None:
+        return False
+    try:
+        chain_layer_specs(spec)
+        return True
+    except ValueError:
+        return False
