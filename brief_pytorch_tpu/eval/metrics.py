@@ -42,12 +42,16 @@ def _gauss_kernel1d(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def _filter_sep2d(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Separable valid-mode gaussian blur over the last two axes of (n,c,h,w)."""
+    """Separable valid-mode gaussian blur over the last two axes of (n,c,h,w).
+
+    Axes smaller than the window are left unfiltered (reference
+    utils/ssim.py:44-51 skips those dims with a warning)."""
     k = win.shape[0]
 
     def conv_last(z):
         # z: (..., L); valid 1-D convolution (correlation) along L
-        pads = [(0, 0)] * (z.ndim - 1) + [(0, 0)]
+        if z.shape[-1] < k:
+            return z
         out = jax.lax.conv_general_dilated(
             z.reshape((-1, 1, z.shape[-1])),
             win.reshape((1, 1, k)),
@@ -60,9 +64,27 @@ def _filter_sep2d(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _ssim_map(x: jnp.ndarray, y: jnp.ndarray, data_range: float,
-              win_size: int = 11) -> jnp.ndarray:
-    """Per-pixel SSIM of (n, c, h, w) pairs.
+def _filter_sep_nd(x: jnp.ndarray, win: jnp.ndarray, spatial_dims: int
+                   ) -> jnp.ndarray:
+    """Separable valid-mode gaussian blur over the last `spatial_dims` axes."""
+    if spatial_dims == 2:
+        return _filter_sep2d(x, win)
+    assert spatial_dims == 3
+    x = _filter_sep2d(x, win)                      # along w, h
+    x = jnp.moveaxis(x, -3, -1)                    # (n, c, h, w, d)
+    k = win.shape[0]
+    if x.shape[-1] >= k:                           # skip small depth (see
+        out = jax.lax.conv_general_dilated(        # _filter_sep2d docstring)
+            x.reshape((-1, 1, x.shape[-1])), win.reshape((1, 1, k)),
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"))
+        x = out.reshape(x.shape[:-1] + (x.shape[-1] - k + 1,))
+    return jnp.moveaxis(x, -1, -3)                 # back to (n, c, d, h, w)
+
+
+def _ssim_cs_maps(x: jnp.ndarray, y: jnp.ndarray, data_range: float,
+                  win_size: int = 11, spatial_dims: int = 2):
+    """Per-pixel (ssim_map, cs_map) of (n, c, *spatial) pairs.
 
     Float32-robust formulation: the textbook E[x^2] - mu^2 variance goes
     (slightly) negative in near-flat windows under float32, and when the
@@ -78,14 +100,22 @@ def _ssim_map(x: jnp.ndarray, y: jnp.ndarray, data_range: float,
     win = _gauss_kernel1d(win_size, 1.5)
     m = 0.5 * (x.mean() + y.mean())
     xc, yc = x - m, y - m
-    mu1 = _filter_sep2d(x, win)
-    mu2 = _filter_sep2d(y, win)
+    mu1 = _filter_sep_nd(x, win, spatial_dims)
+    mu2 = _filter_sep_nd(y, win, spatial_dims)
     mu1c, mu2c = mu1 - m, mu2 - m
-    s1 = jnp.maximum(_filter_sep2d(xc * xc, win) - mu1c * mu1c, 0.0)
-    s2 = jnp.maximum(_filter_sep2d(yc * yc, win) - mu2c * mu2c, 0.0)
-    s12 = _filter_sep2d(xc * yc, win) - mu1c * mu2c
+    s1 = jnp.maximum(_filter_sep_nd(xc * xc, win, spatial_dims) - mu1c * mu1c,
+                     0.0)
+    s2 = jnp.maximum(_filter_sep_nd(yc * yc, win, spatial_dims) - mu2c * mu2c,
+                     0.0)
+    s12 = _filter_sep_nd(xc * yc, win, spatial_dims) - mu1c * mu2c
     cs = (2 * s12 + C2) / (s1 + s2 + C2)
-    return ((2 * mu1 * mu2 + C1) / (mu1 * mu1 + mu2 * mu2 + C1)) * cs
+    return ((2 * mu1 * mu2 + C1) / (mu1 * mu1 + mu2 * mu2 + C1)) * cs, cs
+
+
+def _ssim_map(x: jnp.ndarray, y: jnp.ndarray, data_range: float,
+              win_size: int = 11) -> jnp.ndarray:
+    """Per-pixel SSIM of (n, c, h, w) pairs."""
+    return _ssim_cs_maps(x, y, data_range, win_size)[0]
 
 
 @partial(jax.jit, static_argnames=("win_size",))
@@ -127,6 +157,71 @@ def cal_ssim(origin: np.ndarray, decompressed: np.ndarray, data_range: float,
 def _ssim2d_batch_sum(x, y, data_range):
     """Sum of per-image SSIM over the batch (per-slice means, then sum)."""
     return _ssim_map(x, y, data_range).mean(axis=(1, 2, 3)).sum()
+
+
+MS_SSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def _avg_pool2(x: jnp.ndarray, spatial_dims: int) -> jnp.ndarray:
+    """2x downsample by mean pooling over the last `spatial_dims` axes,
+    zero-padding odd extents on both sides with pads counted in the mean
+    (reference utils/ssim.py:214-216: avg_pool(kernel_size=2,
+    padding=[s % 2]) with torch's count_include_pad=True default)."""
+    nd = x.ndim
+    pads = [(0, 0)] * (nd - spatial_dims) + [
+        (x.shape[d] % 2, x.shape[d] % 2)
+        for d in range(nd - spatial_dims, nd)]
+    x = jnp.pad(x, pads)
+    window = (1,) * (nd - spatial_dims) + (2,) * spatial_dims
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, window,
+                                   "VALID")
+    return summed / float(2 ** spatial_dims)
+
+
+@partial(jax.jit, static_argnames=("win_size", "spatial_dims"))
+def _ms_ssim(x: jnp.ndarray, y: jnp.ndarray, data_range: float,
+             win_size: int = 11, spatial_dims: int = 2) -> jnp.ndarray:
+    """MS-SSIM of (n, c, *spatial) pairs (reference utils/ssim.py:153-225):
+    5 levels, per-level relu'd cs means, relu'd last-level ssim mean,
+    weighted geometric mean; returns the scalar batch+channel mean."""
+    levels = len(MS_SSIM_WEIGHTS)
+    reduce_axes = tuple(range(2, 2 + spatial_dims))
+    mcs = []
+    ssim_pc = None
+    for i in range(levels):
+        ssim_map, cs_map = _ssim_cs_maps(x, y, data_range, win_size,
+                                         spatial_dims)
+        ssim_pc = ssim_map.mean(axis=reduce_axes)
+        if i < levels - 1:
+            mcs.append(jnp.maximum(cs_map.mean(axis=reduce_axes), 0.0))
+            x = _avg_pool2(x, spatial_dims)
+            y = _avg_pool2(y, spatial_dims)
+    stack = jnp.stack(mcs + [jnp.maximum(ssim_pc, 0.0)], axis=0)
+    w = jnp.asarray(MS_SSIM_WEIGHTS, stack.dtype).reshape(-1, 1, 1)
+    return jnp.prod(stack ** w, axis=0).mean()
+
+
+def cal_ms_ssim(origin: np.ndarray, decompressed: np.ndarray,
+                data_range: float, win_size: int = 11) -> float:
+    """MS-SSIM; (h,w,c) images use 2-D filtering/pooling, (d,h,w,c) volumes
+    use volumetric 3-D filtering/pooling (the reference's 4-d/5-d branches,
+    utils/ssim.py:181-185).  Requires min(h,w) > (win_size-1)*16 for the 4
+    downsamplings (utils/ssim.py:195-197)."""
+    a = np.asarray(origin, np.float32) / data_range
+    b = np.asarray(decompressed, np.float32) / data_range
+    if min(a.shape[-3:-1] if a.ndim == 4 else a.shape[:2]) <= \
+            (win_size - 1) * 16:
+        raise ValueError(
+            f"Image side must exceed {(win_size - 1) * 16} for ms-ssim")
+    if a.ndim == 3:    # (h, w, c) -> (1, c, h, w)
+        x = jnp.asarray(a.transpose(2, 0, 1)[None])
+        y = jnp.asarray(b.transpose(2, 0, 1)[None])
+        return float(_ms_ssim(x, y, 1.0, win_size, 2))
+    if a.ndim == 4:    # (d, h, w, c) -> (1, c, d, h, w)
+        x = jnp.asarray(a.transpose(3, 0, 1, 2)[None])
+        y = jnp.asarray(b.transpose(3, 0, 1, 2)[None])
+        return float(_ms_ssim(x, y, 1.0, win_size, 3))
+    raise NotImplementedError(a.shape)
 
 
 def eval_performance(steps: int, data1: np.ndarray, data2: np.ndarray,
