@@ -11,9 +11,15 @@ emitted little-end-first, the standard rANS construction (Duda 2014).
 
 All functions operate on numpy int arrays; pmf->CDF quantisation lives in
 nflr/entropy.py.
+
+A byte-exact native backend (native/rans.cpp -> native/bin/librans.so,
+built by `make -C native`) is loaded via ctypes when present — the
+per-symbol Python loops below are the fallback and the readable spec.
 """
 from __future__ import annotations
 
+import ctypes
+import os
 from typing import List, Sequence
 
 import numpy as np
@@ -22,8 +28,101 @@ PRECISION = 12                 # cdf total = 4096
 RANS_L = 1 << 23               # renormalisation lower bound
 _MASK = (1 << PRECISION) - 1
 
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                         "bin", "librans.so")
+
+
+def _load_native():
+    try:
+        lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
+    except OSError:
+        return None
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+    lib.rans_encode_indexed.restype = ctypes.c_int64
+    lib.rans_encode_indexed.argtypes = [
+        i32p, ctypes.c_int64, u32p, i64p, ctypes.c_void_p, u8p,
+        ctypes.c_int64]
+    lib.rans_decode_indexed.restype = ctypes.c_int64
+    lib.rans_decode_indexed.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, u32p, i64p, ctypes.c_int64,
+        ctypes.c_void_p, i32p]
+    return lib
+
+
+_NATIVE = _load_native()
+
+
+def _flatten_cdfs(cdfs: Sequence[np.ndarray]):
+    flat = np.concatenate([np.asarray(c, np.uint32) for c in cdfs])
+    off = np.zeros(len(cdfs) + 1, np.int64)
+    off[1:] = np.cumsum([len(c) for c in cdfs])
+    return np.ascontiguousarray(flat), off
+
+
+def _native_encode(symbols, cdfs, channel_idx) -> bytes:
+    symbols = np.ascontiguousarray(symbols, np.int32).ravel()
+    flat, off = _flatten_cdfs(cdfs)
+    n = len(symbols)
+    out = np.empty(4 * n + 16, np.uint8)
+    if channel_idx is None:
+        idx_p = None
+    else:
+        channel_idx = np.ascontiguousarray(channel_idx, np.int32).ravel()
+        idx_p = channel_idx.ctypes.data_as(ctypes.c_void_p)
+    written = _NATIVE.rans_encode_indexed(symbols, n, flat, off, idx_p,
+                                          out, len(out))
+    assert written > 0, "native rans encode overflow"
+    return out[:written].tobytes()
+
+
+def _native_decode(data: bytes, n: int, cdfs, channel_idx) -> np.ndarray:
+    buf = np.frombuffer(data, np.uint8)
+    flat, off = _flatten_cdfs(cdfs)
+    out = np.empty(n, np.int32)
+    if channel_idx is None:
+        idx_p = None
+    else:
+        channel_idx = np.ascontiguousarray(channel_idx, np.int32).ravel()
+        idx_p = channel_idx.ctypes.data_as(ctypes.c_void_p)
+    rc = _NATIVE.rans_decode_indexed(np.ascontiguousarray(buf), len(buf), n,
+                                     flat, off, len(cdfs), idx_p, out)
+    assert rc == 0, "native rans decode failed"
+    return out.astype(np.int64)
+
 
 def encode(symbols: np.ndarray, cdf: np.ndarray) -> bytes:
+    if _NATIVE is not None:
+        return _native_encode(symbols, [cdf], None)
+    return _encode_py(symbols, cdf)
+
+
+def decode(data: bytes, n_symbols: int, cdf: np.ndarray) -> np.ndarray:
+    if _NATIVE is not None:
+        return _native_decode(data, n_symbols, [cdf], None)
+    return _decode_py(data, n_symbols, cdf)
+
+
+def encode_per_channel(symbols: np.ndarray, cdfs: Sequence[np.ndarray],
+                       channel_idx: np.ndarray) -> bytes:
+    """Encode symbols where symbol i uses cdfs[channel_idx[i]]."""
+    if _NATIVE is not None:
+        return _native_encode(symbols, cdfs, channel_idx)
+    return _encode_per_channel_py(symbols, cdfs, channel_idx)
+
+
+def decode_per_channel(data: bytes, cdfs: Sequence[np.ndarray],
+                       channel_idx: np.ndarray) -> np.ndarray:
+    """Inverse of encode_per_channel."""
+    if _NATIVE is not None:
+        n = len(np.asarray(channel_idx).ravel())
+        return _native_decode(data, n, cdfs, channel_idx)
+    return _decode_per_channel_py(data, cdfs, channel_idx)
+
+
+def _encode_py(symbols: np.ndarray, cdf: np.ndarray) -> bytes:
     """Encode int symbols with one shared quantized CDF.
 
     cdf: (S+1,) uint32 cumulative frequencies, cdf[0]=0,
@@ -50,7 +149,7 @@ def encode(symbols: np.ndarray, cdf: np.ndarray) -> bytes:
     return bytes(out[::-1])
 
 
-def decode(data: bytes, n_symbols: int, cdf: np.ndarray) -> np.ndarray:
+def _decode_py(data: bytes, n_symbols: int, cdf: np.ndarray) -> np.ndarray:
     """Inverse of encode: recover n_symbols ints."""
     freqs = (cdf[1:] - cdf[:-1]).astype(np.int64)
     starts = cdf[:-1].astype(np.int64)
@@ -75,9 +174,8 @@ def decode(data: bytes, n_symbols: int, cdf: np.ndarray) -> np.ndarray:
     return out
 
 
-def encode_per_channel(symbols: np.ndarray, cdfs: Sequence[np.ndarray],
-                       channel_idx: np.ndarray) -> bytes:
-    """Encode symbols where symbol i uses cdfs[channel_idx[i]]."""
+def _encode_per_channel_py(symbols: np.ndarray, cdfs: Sequence[np.ndarray],
+                           channel_idx: np.ndarray) -> bytes:
     symbols = np.asarray(symbols, np.int64).ravel()
     channel_idx = np.asarray(channel_idx, np.int64).ravel()
     out = bytearray()
@@ -98,9 +196,8 @@ def encode_per_channel(symbols: np.ndarray, cdfs: Sequence[np.ndarray],
     return bytes(out[::-1])
 
 
-def decode_per_channel(data: bytes, cdfs: Sequence[np.ndarray],
-                       channel_idx: np.ndarray) -> np.ndarray:
-    """Inverse of encode_per_channel."""
+def _decode_per_channel_py(data: bytes, cdfs: Sequence[np.ndarray],
+                           channel_idx: np.ndarray) -> np.ndarray:
     channel_idx = np.asarray(channel_idx, np.int64).ravel()
     n = len(channel_idx)
     luts = []
