@@ -310,6 +310,32 @@ class NFGR:
 
     # --------------------------------------------------------- decompress --
     @staticmethod
+    def decompress_divide(opt, orig_sideinfos_path: str,
+                          module_save_dir: str,
+                          sideinfos_save_dir: str) -> np.ndarray:
+        """Standalone decode of a saved DivideTask archive
+        (reference main.py:299-320): every chunk under
+        <module_save_dir>/<chunk_name>/module is decoded with its own
+        sideinfos and merged by the extents encoded in the chunk name
+        'd_{z0}_{z1}-h_{y0}_{y1}-w_{x0}_{x1}' (reference main.py:477-480).
+
+        opt: a CompressFramework config node or a SingleTask yaml path.
+        """
+        from brief_pytorch_tpu.partition.divide import (merge_divided_data,
+                                                        parse_chunk_name)
+        orig_sideinfos = cfglib.load(orig_sideinfos_path)
+        data_shape = list(orig_sideinfos["data_shape"])
+        chunk_list = []
+        for chunk_name in sorted(os.listdir(module_save_dir)):
+            extents = parse_chunk_name(chunk_name)
+            module_path = opj(module_save_dir, chunk_name, "module")
+            sideinfos_path = opj(sideinfos_save_dir, chunk_name,
+                                 "sideinfos.yaml")
+            dec = NFGR.decompress(opt, module_path, sideinfos_path)
+            chunk_list.append({"data": dec, "name": chunk_name, **extents})
+        return merge_divided_data(chunk_list, data_shape)
+
+    @staticmethod
     def decompress(opt, module_path: str, sideinfos_path: str) -> np.ndarray:
         """Standalone decode from saved artifacts (reference main.py:270-297).
 

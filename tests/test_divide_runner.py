@@ -75,6 +75,30 @@ def test_divide_pipeline_artifacts(brain64_path, tmp_path):
     assert any(f.startswith("weight-0-") for f in files)
 
 
+def test_decompress_divide_from_archive(brain64_path, tmp_path):
+    """NFGR.decompress_divide (reference main.py:299-320) rebuilds the full
+    volume from the on-disk archive and must match the runner's merged
+    decompressed TIFF exactly."""
+    from brief_pytorch_tpu.io.image import read_img
+    from brief_pytorch_tpu.parallel.divide_runner import compress_divide
+    from brief_pytorch_tpu.train.fit import NFGR
+    opt = _opt(brain64_path, str(tmp_path))
+    log = MyLogger(**opt.Log.to_plain())
+    compress_divide(opt, log)
+    step = os.path.join(log.logdir, "steps60")
+    compressed = os.path.join(step, "compressed")
+    dec = NFGR.decompress_divide(
+        opt.CompressFramework,
+        os.path.join(compressed, "sideinfos.yaml"),
+        os.path.join(compressed, "module"),
+        os.path.join(compressed, "sideinfos"))
+    saved = read_img(os.path.join(
+        step, "decompressed",
+        os.path.basename(brain64_path).replace(".tif", "_decompressed.tif")))
+    assert dec.shape == saved.shape and dec.dtype == saved.dtype
+    assert np.array_equal(dec, saved)
+
+
 def test_exception_override_changes_block_budget(brain64_path, tmp_path):
     """A per-chunk exception (reference main.py:568-569) with a bigger
     given_size must produce a wider network for that chunk only."""
