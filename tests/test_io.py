@@ -1,0 +1,142 @@
+"""I/O surfaces: TIFF/PNG/video round-trips, YUV import, archive formats,
+raw-binary model serialization (reference utils/tool.py, utils/io.py,
+utils/ModelSave.py)."""
+import os
+
+import numpy as np
+import pytest
+
+from brief_pytorch_tpu.io import archive
+from brief_pytorch_tpu.io.image import (read_img, read_video, save_img,
+                                        save_video)
+from brief_pytorch_tpu.io.modelsave import copy_dir, load_model, save_model
+from brief_pytorch_tpu.io.yuv import yuv2bgr, yuv_import
+
+
+class TestImages:
+    def test_tiff_volume_roundtrip(self, tmp_path):
+        vol = np.random.default_rng(0).integers(
+            0, 65535, (5, 16, 16, 1), dtype=np.uint16)
+        p = str(tmp_path / "v.tif")
+        save_img(p, vol)
+        back = read_img(p)
+        assert np.array_equal(back, vol)
+
+    def test_png_roundtrip(self, tmp_path):
+        img = np.random.default_rng(1).integers(0, 255, (16, 16, 1),
+                                                dtype=np.uint8)
+        p = str(tmp_path / "i.png")
+        save_img(p, img)
+        assert np.array_equal(read_img(p), img)
+
+
+class TestVideo:
+    def test_mp4_roundtrip_shape(self, tmp_path):
+        pytest.importorskip("cv2")
+        rng = np.random.default_rng(2)
+        # smooth frames: block codecs destroy pure noise
+        frames = np.repeat(np.repeat(
+            rng.integers(0, 255, (4, 8, 8, 3), dtype=np.uint8),
+            8, axis=1), 8, axis=2)
+        p = str(tmp_path / "v.avi")
+        save_video(5, p, frames)
+        back = read_video(p)
+        assert back.shape == frames.shape
+        assert np.mean(np.abs(back.astype(int) - frames.astype(int))) < 32
+
+
+class TestYUV:
+    def _write_i420(self, path, frames_y, frames_u, frames_v):
+        with open(path, "wb") as f:
+            for y, u, v in zip(frames_y, frames_u, frames_v):
+                f.write(y.tobytes())
+                f.write(u.tobytes())
+                f.write(v.tobytes())
+
+    def test_yuv_import_8bit(self, tmp_path):
+        h, w, n = 16, 24, 3
+        rng = np.random.default_rng(3)
+        ys = [rng.integers(0, 255, (h, w), dtype=np.uint8) for _ in range(n)]
+        us = [rng.integers(0, 255, (h // 2, w // 2), dtype=np.uint8)
+              for _ in range(n)]
+        vs = [rng.integers(0, 255, (h // 2, w // 2), dtype=np.uint8)
+              for _ in range(n)]
+        p = str(tmp_path / "v.yuv")
+        self._write_i420(p, ys, us, vs)
+        Y, U, V = yuv_import(p, (h, w), n, 0)
+        assert len(Y) == n
+        for a, b in zip(Y, ys):
+            assert np.array_equal(a, b)
+        assert np.array_equal(U[1], us[1]) and np.array_equal(V[2], vs[2])
+        # startfrm skips whole frames
+        Y2, _, _ = yuv_import(p, (h, w), 1, 2)
+        assert np.array_equal(Y2[0], ys[2])
+
+    def test_yuv2bgr_shapes(self, tmp_path):
+        pytest.importorskip("cv2")
+        h, w, n = 16, 24, 2
+        rng = np.random.default_rng(4)
+        ys = [rng.integers(0, 255, (h, w), dtype=np.uint8) for _ in range(n)]
+        us = [np.full((h // 2, w // 2), 128, np.uint8) for _ in range(n)]
+        p = str(tmp_path / "v.yuv")
+        self._write_i420(p, ys, us, us)
+        yuv, bgr = yuv2bgr(p, h, w, n, 0, crop=None)
+        assert yuv.shape == (n, h * 3 // 2, w)
+        assert bgr.shape == (n, h, w, 3)
+
+
+class TestArchive:
+    @pytest.mark.parametrize("method", sorted(archive._CODECS))
+    def test_write_read_7z(self, tmp_path, method):
+        paths, blobs = [], {}
+        for i in range(3):
+            p = str(tmp_path / f"f{i}.bin")
+            blobs[f"f{i}.bin"] = os.urandom(100 * (i + 1)) + b"\0" * 500
+            with open(p, "wb") as f:
+                f.write(blobs[f"f{i}.bin"])
+            paths.append(p)
+        arc = str(tmp_path / "a.7z")
+        archive.write_7z(paths, arc, [os.path.basename(p) for p in paths],
+                         method=method)
+        out = archive.read_7z(arc)
+        assert set(out) == set(blobs)
+        for k in blobs:
+            assert out[k].read() == blobs[k]
+
+    def test_binary_yaml_zip_roundtrip(self, tmp_path):
+        p = str(tmp_path / "b.zip")
+        strings = {"y_strings": [b"\x01\x02stream", b"batch2"],
+                   "z_strings": [b"zz"]}
+        side = {"shape": [3, 4, 5], "phi_name": "SIREN"}
+        archive.write_binary_yaml_zip(strings, side, p)
+        blobs, side_back = archive.read_binary_yaml_zip(
+            ["y_strings", "z_strings"], p)
+        assert blobs["y_strings"] == strings["y_strings"]
+        assert blobs["z_strings"] == strings["z_strings"]
+        assert list(side_back["shape"]) == [3, 4, 5]
+
+
+class TestModelSave:
+    def test_raw_binary_roundtrip_and_layout(self, tmp_path):
+        rng = np.random.default_rng(5)
+        layers = [{"w": rng.standard_normal((3, 8)).astype(np.float32),
+                   "b": rng.standard_normal((8,)).astype(np.float32)},
+                  {"w": rng.standard_normal((8, 1)).astype(np.float32),
+                   "b": rng.standard_normal((1,)).astype(np.float32)}]
+        d = str(tmp_path / "module")
+        save_model(layers, d)
+        files = sorted(os.listdir(d))
+        # reference ModelSave.py naming: weight-{l}-{s0}-{s1}, bias-{l}-{n}
+        assert "weight-0-8-3" in files or "weight-0-3-8" in files
+        back = load_model(d)
+        for a, b in zip(back, layers):
+            np.testing.assert_allclose(a["w"], b["w"], rtol=1e-6)
+            np.testing.assert_allclose(a["b"], b["b"], rtol=1e-6)
+
+    def test_copy_dir(self, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "x.txt").write_text("hello")
+        dst = str(tmp_path / "dst")
+        copy_dir(str(src), dst)
+        assert open(os.path.join(dst, "x.txt")).read() == "hello"
