@@ -81,7 +81,11 @@ def run_segment(params, opt_state, data, weight, key, *,
         return (params, opt_state), loss
 
     keys = jax.random.split(key, n_steps)
-    (params, opt_state), losses = jax.lax.scan(step_fn, (params, opt_state), keys)
+    # unroll: merges loop iterations, shaving per-iteration overhead from
+    # the serial chain (~4% at the bench config); math is unchanged
+    (params, opt_state), losses = jax.lax.scan(step_fn, (params, opt_state),
+                                               keys,
+                                               unroll=min(4, max(1, n_steps)))
     return params, opt_state, losses
 
 
