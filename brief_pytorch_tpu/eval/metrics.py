@@ -52,11 +52,15 @@ def _filter_sep2d(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
         # z: (..., L); valid 1-D convolution (correlation) along L
         if z.shape[-1] < k:
             return z
+        # precision=HIGHEST: TPU convs default to bf16 multiplies, which
+        # perturbs SSIM by ~0.03 on uint16-range volumes (observed 0.9348
+        # vs the true 0.9601); the metric must be trustworthy.
         out = jax.lax.conv_general_dilated(
             z.reshape((-1, 1, z.shape[-1])),
             win.reshape((1, 1, k)),
             window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"))
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)
         return out.reshape(z.shape[:-1] + (z.shape[-1] - k + 1,))
 
     x = conv_last(x)                       # blur along w
@@ -77,7 +81,8 @@ def _filter_sep_nd(x: jnp.ndarray, win: jnp.ndarray, spatial_dims: int
         out = jax.lax.conv_general_dilated(        # _filter_sep2d docstring)
             x.reshape((-1, 1, x.shape[-1])), win.reshape((1, 1, k)),
             window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"))
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)
         x = out.reshape(x.shape[:-1] + (x.shape[-1] - k + 1,))
     return jnp.moveaxis(x, -1, -3)                 # back to (n, c, d, h, w)
 

@@ -42,7 +42,8 @@ from brief_pytorch_tpu.models import sizing
 from brief_pytorch_tpu.models.phi import get_param_count, init_phi
 from brief_pytorch_tpu.post.preprocess import (parse_checkpoints, parse_weight,
                                                preprocess)
-from brief_pytorch_tpu.train.decode import reconstruct_flattened
+from brief_pytorch_tpu.train.decode import (fused_apply_or,
+                                            reconstruct_flattened)
 from brief_pytorch_tpu.train.loss import make_loss
 from brief_pytorch_tpu.train.optim import make_optimizer
 from brief_pytorch_tpu.train.samplers import (RandomCubeSampler,
@@ -303,8 +304,11 @@ class NFGR:
                      *[np.asarray(x) for x in flat])
 
     def _decode(self, model, params, sideinfos) -> np.ndarray:
+        # fused kernel is f32-only; half decode keeps the bf16 jnp chain
+        apply_fn = fused_apply_or(model, model.apply,
+                                  use_pallas=not self.half)
         dec = reconstruct_flattened(
-            model.apply, params, sideinfos["data_shape"],
+            apply_fn, params, sideinfos["data_shape"],
             int(self.opt.Decompress.sample_size),
             self.opt.Compress.coords_mode, self.half)
         dec = invnormalize_data(dec, sideinfos, **self.opt.Normalize)
@@ -357,7 +361,8 @@ class NFGR:
         params = {**params, "layers": [{k: jnp.asarray(v) for k, v in l.items()}
                                        for l in layers]}
         half = bool(opt.Compress.half)
-        dec = reconstruct_flattened(model.apply, params, sideinfos["data_shape"],
+        apply_fn = fused_apply_or(model, model.apply, use_pallas=not half)
+        dec = reconstruct_flattened(apply_fn, params, sideinfos["data_shape"],
                                     int(opt.Decompress.sample_size),
                                     opt.Compress.coords_mode, half)
         dec = invnormalize_data(dec, dict(sideinfos), **opt.Normalize)
