@@ -43,6 +43,7 @@ from brief_pytorch_tpu.models.phi import (ChainSpec, _ChainModel, _act,
 from brief_pytorch_tpu.parallel.mesh import block_sharding, make_mesh, replicated
 from brief_pytorch_tpu.train.loss import make_loss
 from brief_pytorch_tpu.train.optim import make_optimizer
+from brief_pytorch_tpu.train.samplers import cube_size_guard
 
 
 # --------------------------------------------------------------------------
@@ -317,6 +318,7 @@ class _BucketState:
     tx: object
     key: object
     thres: float
+    sampler_name: str = "randompoint"  # post cube_size_guard (per bucket)
 
 
 class BlockFleetTrainer:
@@ -352,7 +354,18 @@ class BlockFleetTrainer:
         for i, blk in enumerate(blocks):
             m = blk["model"]
             meta = tuple((e.act, e.w0, e.kind) for e in m.spec.entries)
-            sig = (type(m).__name__, len(m.spec.entries), meta)
+            # per-block effective sampler: the reference's 80^3 cube guard
+            # runs in each child process on its own block (main.py:332-334);
+            # here it decides the block's bucket so big blocks never take
+            # the full-batch randomcube path (HBM blowup at Vmax ~ millions)
+            block_voxels = int(np.prod(blk["data_norm"].shape[:-1]))
+            cube_voxels = int(np.prod([min(int(c), s) for c, s in
+                                       zip(cc.sampler.cube_len,
+                                           blk["data_norm"].shape[:-1])]))
+            eff_sampler = cube_size_guard(cc.sampler.name, block_voxels,
+                                          cube_voxels)
+            blk["sampler_name"] = eff_sampler
+            sig = (type(m).__name__, len(m.spec.entries), meta, eff_sampler)
             buckets.setdefault(sig, []).append(i)
         self._states = [self._prepare_bucket(blocks, idxs, cc)
                         for idxs in buckets.values()]
@@ -414,11 +427,12 @@ class BlockFleetTrainer:
             valid=jax.device_put(batch.valid, bs),
             shapes=jax.device_put(batch.shapes, bs),
             tx=tx, key=jax.random.PRNGKey(self.seed + 1),
-            thres=float(sub[0].get("weight_thres_norm", 0.0)))
+            thres=float(sub[0].get("weight_thres_norm", 0.0)),
+            sampler_name=sub[0].get("sampler_name", cc.sampler.name))
 
     def _run_segment(self, st: _BucketState, cc, n_steps: int) -> np.ndarray:
         """Advance one bucket n_steps; returns last-step per-block losses."""
-        fullbatch = cc.sampler.name == "randomcube"
+        fullbatch = st.sampler_name == "randomcube"
         st.key, seg = jax.random.split(st.key)
         st.params, st.opt_state, losses = run_block_segment(
             st.params, st.opt_state, st.masks, st.data, st.weight, st.valid,

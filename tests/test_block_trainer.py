@@ -115,6 +115,26 @@ lr_scheduler_phi: {name: none}
         assert decoded[0].shape == (8, 8, 8, 1)
         assert decoded[1].shape == (4, 8, 8, 1)
 
+    def test_cube_guard_buckets_big_blocks_to_randompoint(self):
+        """randomcube on a block bigger than 80^3 must fall back to
+        randompoint per block (the reference's child-process guard,
+        main.py:332-334) — the full-batch path over Vmax-padded voxel
+        arrays OOMs HBM at adaptive-blocking scales.  Small blocks keep
+        randomcube, so a mixed fleet splits into two buckets."""
+        cc = self._cc()
+        cc.sampler.name = "randomcube"
+        cc.sampler.cube_len = [10000000, 10000000, 10000000]
+        big = (96, 96, 96)    # 884736 > 80^3
+        small = (8, 8, 8)
+        blocks = self._blocks([8, 8], [big, small])
+        trainer = BlockFleetTrainer(seed=0)
+        trainer.train(blocks, cc, max_steps=2, checkpoints=[2])
+        assert blocks[0]["sampler_name"] == "randompoint"
+        assert blocks[1]["sampler_name"] == "randomcube"
+        assert len(trainer._states) == 2
+        by_mode = {st.sampler_name: st for st in trainer._states}
+        assert set(by_mode) == {"randompoint", "randomcube"}
+
     def test_block_axis_shards_over_8_devices(self):
         """8 blocks on the 8-device CPU mesh: sharded batch axis, no error,
         and per-shard placement is actually distributed."""
