@@ -130,6 +130,17 @@ class _BaseCompressFramework:
         self.module: Dict[str, object] = {}
         self.params: Dict[str, object] = {}
         self.seed = int(opt.get("seed", 42))
+        self._tx_cache: Dict[tuple, object] = {}
+
+    def _opt_tx(self, name: str, lr: float):
+        """Memoized optimizer transform.  Optax transforms hash by the
+        identity of their update functions, and several of them are static
+        jit args of the step helpers — constructing a fresh transform per
+        training step forces a full recompile EVERY step (~20 s observed)."""
+        key = (str(name), float(lr))
+        if key not in self._tx_cache:
+            self._tx_cache[key] = make_optimizer(str(name), float(lr))
+        return self._tx_cache[key]
 
     # ------------------------------------------------------------- build --
     def init_module(self):
@@ -388,8 +399,8 @@ class _NFLR(_BaseNFLR):
     def compressing_data(self, cropped, sampler, pc_shape, sideinfos,
                          save_path):
         y = self.init_compressing_y(cropped, sideinfos, pc_shape)
-        tx_y = make_optimizer(self.opt.Compress.optimizer_name_y,
-                              float(self.opt.Compress.lr_y))
+        tx_y = self._opt_tx(self.opt.Compress.optimizer_name_y,
+                            self.opt.Compress.lr_y)
         opt_y = tx_y.init(y)
         steps = 0
         max_steps = int(self.opt.Compress.max_steps)
@@ -448,8 +459,8 @@ class NFLR_AutoDecoder(_NFLR):
             params, opt_state, y0, coords, values, tx=tx,
             dist=self._distortion,
             argmin_steps=int(self.opt.Train.argmin_steps),
-            tx_y=make_optimizer(self.opt.Train.optimizer_name_y,
-                                float(self.opt.Train.lr_y)))
+            tx_y=self._opt_tx(self.opt.Train.optimizer_name_y,
+                              self.opt.Train.lr_y))
         self._set_module_params(new_params)
         return loss, opt_state
 
@@ -559,7 +570,7 @@ class _NFLR_Coding(_NFLR):
                          save_path):
         c = self.opt.Compress
         y = self.init_compressing_y(cropped, sideinfos, pc_shape)
-        tx_y = make_optimizer(c.optimizer_name_y, float(c.lr_y))
+        tx_y = self._opt_tx(c.optimizer_name_y, c.lr_y)
         opt_y = tx_y.init(y)
         steps = 0
         max_steps = int(c.max_steps)
@@ -660,8 +671,8 @@ class NFLR_Coding_AutoDecoder(_NFLR_Coding):
         loss, new_params, opt_state = _coding_autodecoder_step(
             params, opt_state, y0, self._next_key(), coords, values,
             float(self.opt.Train.Lambda), tx=tx,
-            tx_y=make_optimizer(self.opt.Train.optimizer_name_y,
-                                float(self.opt.Train.lr_y)),
+            tx_y=self._opt_tx(self.opt.Train.optimizer_name_y,
+                              self.opt.Train.lr_y),
             argmin_steps=int(self.opt.Train.argmin_steps),
             loss_un=self._loss_rd_un)
         self._set_module_params(new_params)
@@ -775,8 +786,8 @@ class _NFLR_Coding_Hyper(_NFLR_Coding):
                          save_path):
         c = self.opt.Compress
         y, z = self.init_compressing_yz(cropped, sideinfos, pc_shape)
-        tx_y = make_optimizer(c.optimizer_name_y, float(c.lr_y))
-        tx_z = make_optimizer(c.optimizer_name_z, float(c.lr_z))
+        tx_y = self._opt_tx(c.optimizer_name_y, c.lr_y)
+        tx_z = self._opt_tx(c.optimizer_name_z, c.lr_z)
         opt_y, opt_z = tx_y.init(y), tx_z.init(z)
         steps = 0
         max_steps = int(c.max_steps)
@@ -906,8 +917,8 @@ class NFLR_Coding_Hyper_AutoDecoder(_NFLR_Coding_Hyper):
         loss, new_params, opt_state = _hyper_autodecoder_step(
             params, opt_state, y0, z0, self._next_key(), coords, values,
             float(t.Lambda), tx=tx,
-            tx_y=make_optimizer(t.optimizer_name_y, float(t.lr_y)),
-            tx_z=make_optimizer(t.optimizer_name_z, float(t.lr_z)),
+            tx_y=self._opt_tx(t.optimizer_name_y, t.lr_y),
+            tx_z=self._opt_tx(t.optimizer_name_z, t.lr_z),
             argmin_steps=int(t.argmin_steps),
             loss_un=self._loss_rd_hyper_un)
         for k in ("phi", "gmod", "gy", "emz"):
