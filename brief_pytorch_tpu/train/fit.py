@@ -304,11 +304,16 @@ class NFGR:
                      *[np.asarray(x) for x in flat])
 
     def _decode(self, model, params, sideinfos) -> np.ndarray:
-        # fused kernel is f32-only; half decode keeps the bf16 jnp chain
-        apply_fn = fused_apply_or(model, model.apply,
-                                  use_pallas=not self.half)
+        # fused kernel is f32-only; half decode keeps the bf16 jnp chain.
+        # The apply closure is memoized per model: a fresh closure per
+        # checkpoint would be a new static jit arg and recompile the whole
+        # grid decode at every checkpoint.
+        if getattr(self, "_decode_apply_model", None) is not model:
+            self._decode_apply = fused_apply_or(model, model.apply,
+                                                use_pallas=not self.half)
+            self._decode_apply_model = model
         dec = reconstruct_flattened(
-            apply_fn, params, sideinfos["data_shape"],
+            self._decode_apply, params, sideinfos["data_shape"],
             int(self.opt.Decompress.sample_size),
             self.opt.Compress.coords_mode, self.half)
         dec = invnormalize_data(dec, sideinfos, **self.opt.Normalize)
