@@ -1,0 +1,49 @@
+"""Task queue semantics (sched/tasks.py): retry-on-error with a bounded
+retry budget, callable and subprocess tasks, status table
+(reference utils/TasksManager.py:116-311 behaviors)."""
+import pytest
+
+from brief_pytorch_tpu.sched.tasks import Queue, Task
+
+
+def test_flaky_task_retries_then_finishes():
+    attempts = {"n": 0}
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    q = Queue([Task(flaky, "flaky")])
+    q.start()
+    assert attempts["n"] == 3
+    assert len(q.finish_list) == 1 and not q.error_list
+    assert q.finish_list[0].result == "ok"
+    assert q.finish_list[0].ets == 2
+
+
+def test_permanent_failure_lands_in_error_list():
+    def bad():
+        raise RuntimeError("always")
+
+    q = Queue([Task(bad, "bad")], max_retries=2)
+    q.start()
+    assert not q.finish_list
+    assert len(q.error_list) == 1
+    assert q.error_list[0].ets == 3  # initial attempt + 2 retries
+
+
+def test_subprocess_tasks_and_order():
+    q = Queue([Task("true", "t_ok"), Task("false", "t_bad")], max_retries=0)
+    q.start()
+    assert [t.name for t in q.finish_list] == ["t_ok"]
+    assert [t.name for t in q.error_list] == ["t_bad"]
+    assert q.error_list[0].returncode != 0
+
+
+def test_status_table_lists_all_tasks():
+    q = Queue([Task("true", "alpha"), Task("true", "beta")])
+    q.start()
+    table = q.status_table()
+    assert "alpha" in table and "beta" in table and "finish" in table
