@@ -146,6 +146,84 @@ def test_forward_and_grads_match_reference(ref_networks, name, cfg):
                                    rtol=1e-3, err_msg=f"{name} db layer {li}")
 
 
+def test_ffn_matches_reference(ref_networks):
+    """FFN: frozen Fourier bvals copied from the reference parameter, ReLU
+    chain + linears mapped 1:1."""
+    import torch
+    torch.manual_seed(0)
+    cfg = dict(coords_channel=3, data_channel=1, features=24, layers=4,
+               embsize=16, scale=10)
+    ref = ref_networks.init_phi({"name": "FFN", **cfg})
+    ours = init_phi({"name": "FFN", **cfg})
+    params = _load_ref_weights_into_ours(ref, ours.init(jax.random.PRNGKey(0)))
+    params["encoder"] = {
+        "bvals": jnp.asarray(ref.fourier_embedding.bvals.detach().numpy())
+        if hasattr(ref, "fourier_embedding")
+        else jnp.asarray([m for m in ref.modules()
+                          if type(m).__name__ == "FourierFeatureEmbedding"
+                          ][0].bvals.detach().numpy())}
+    coords = np.random.default_rng(1).uniform(
+        -1, 1, (101, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(coords)).numpy()
+    our_out = np.asarray(ours.apply(params, jnp.asarray(coords)))
+    np.testing.assert_allclose(our_out, ref_out, atol=2e-5, rtol=1e-4)
+
+
+def test_sirenpos_matches_reference(ref_networks):
+    import torch
+    torch.manual_seed(0)
+    cfg = dict(coords_channel=2, data_channel=1, features=20, layers=4,
+               w0=30, T=[2, 3])
+    ref = ref_networks.init_phi({"name": "SIRENPos", **cfg})
+    ours = init_phi({"name": "SIRENPos", **cfg})
+    params = _load_ref_weights_into_ours(ref, ours.init(jax.random.PRNGKey(0)))
+    coords = np.random.default_rng(2).uniform(
+        -1, 1, (77, 2)).astype(np.float32)
+    with torch.no_grad():
+        # the reference encoder mutates its input in place
+        # (Networks.py:26-30) — give torch its own copy
+        ref_out = ref(torch.from_numpy(coords.copy())).numpy()
+    np.testing.assert_allclose(np.asarray(ours.apply(params,
+                                                     jnp.asarray(coords))),
+                               ref_out, atol=2e-5, rtol=1e-4)
+
+
+def _load_mfn(ref, our_params, gabor: bool):
+    filters = []
+    for f in ref.filters:
+        d = {"w": jnp.asarray(f.linear.weight.detach().numpy().T),
+             "b": jnp.asarray(f.linear.bias.detach().numpy())}
+        if gabor:
+            d["mu"] = jnp.asarray(f.mu.detach().numpy())
+            d["gamma"] = jnp.asarray(f.gamma.detach().numpy())
+        filters.append(d)
+    linear = [{"w": jnp.asarray(l.weight.detach().numpy().T),
+               "b": jnp.asarray(l.bias.detach().numpy())}
+              for l in ref.linear]
+    output = {"w": jnp.asarray(ref.output_linear.weight.detach().numpy().T),
+              "b": jnp.asarray(ref.output_linear.bias.detach().numpy())}
+    return {"linear": linear, "output": output, "filters": filters}
+
+
+@pytest.mark.parametrize("name", ["MFNFourier", "MFNGabor"])
+def test_mfn_matches_reference(ref_networks, name):
+    import torch
+    torch.manual_seed(0)
+    cfg = dict(coords_channel=3, data_channel=1, features=24, layers=4)
+    ref = ref_networks.init_phi({"name": name, **cfg})
+    ours = init_phi({"name": name, **cfg})
+    params = _load_mfn(ref, ours.init(jax.random.PRNGKey(0)),
+                       gabor=name == "MFNGabor")
+    coords = np.random.default_rng(3).uniform(
+        -1, 1, (88, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(coords)).numpy()
+    np.testing.assert_allclose(np.asarray(ours.apply(params,
+                                                     jnp.asarray(coords))),
+                               ref_out, atol=2e-5, rtol=1e-4)
+
+
 def test_decoded_volume_matches_reference(ref_networks):
     """Full-grid decode (the decompression path) agrees voxel-for-voxel
     within float tolerance with the reference net on the same weights."""
