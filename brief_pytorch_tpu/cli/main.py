@@ -33,13 +33,21 @@ def run(opt_path: str, args=None) -> dict:
     seed = int(opt.Reproduc.seed)
     divide_type = opt.CompressFramework.Compress.divide.divide_type
     data_path = opt.Dataset.data_path
-    if divide_type == "none":
-        from brief_pytorch_tpu.train.fit import NFGR
-        cf = NFGR(opt.CompressFramework, logger=log, seed=seed)
-        return cf.compress(data_path,
-                           stepstore=getattr(args, "stepstore", False))
-    from brief_pytorch_tpu.parallel.divide_runner import compress_divide
-    return compress_divide(opt, log, args)
+
+    import contextlib
+    profile_ctx = contextlib.nullcontext()
+    if getattr(args, "profile", False):
+        from brief_pytorch_tpu.utils.profiling import trace
+        profile_ctx = trace(os.path.join(log.logdir, "profile"))
+
+    with profile_ctx:
+        if divide_type == "none":
+            from brief_pytorch_tpu.train.fit import NFGR
+            cf = NFGR(opt.CompressFramework, logger=log, seed=seed)
+            return cf.compress(data_path,
+                               stepstore=getattr(args, "stepstore", False))
+        from brief_pytorch_tpu.parallel.divide_runner import compress_divide
+        return compress_divide(opt, log, args)
 
 
 def main(argv=None):
@@ -56,6 +64,9 @@ def main(argv=None):
     parser.add_argument("-debug", action="store_true")
     parser.add_argument("-substore", action="store_true")
     parser.add_argument("-stepstore", action="store_false")
+    parser.add_argument("-profile", action="store_true",
+                        help="write a jax.profiler trace under the run dir "
+                             "(view with TensorBoard's profile plugin)")
     args = parser.parse_args(argv)
     return run(args.p, args)
 
