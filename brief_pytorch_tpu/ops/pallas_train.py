@@ -28,7 +28,6 @@ tests/test_pallas_train.py (interpret mode on CPU, tight tolerances).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
