@@ -431,16 +431,27 @@ class BlockFleetTrainer:
             sampler_name=sub[0].get("sampler_name", cc.sampler.name))
 
     def _run_segment(self, st: _BucketState, cc, n_steps: int) -> np.ndarray:
-        """Advance one bucket n_steps; returns last-step per-block losses."""
+        """Advance one bucket n_steps; returns last-step per-block losses.
+
+        Scans are dispatched in SEGMENT_CAP-sized pieces — a single
+        multi-minute device dispatch risks runtime watchdogs (see
+        train/fit.py), and the pieces share one compiled shape."""
+        from brief_pytorch_tpu.train.fit import SEGMENT_CAP
         fullbatch = st.sampler_name == "randomcube"
-        st.key, seg = jax.random.split(st.key)
-        st.params, st.opt_state, losses = run_block_segment(
-            st.params, st.opt_state, st.masks, st.data, st.weight, st.valid,
-            st.shapes, seg, spec=st.spec, tx=st.tx, loss_name=cc.loss.name,
-            beta=float(cc.loss.get("beta", 0.01)), weight_thres=st.thres,
-            n_steps=n_steps, sample_size=int(cc.sampler.sample_size),
-            coords_mode=cc.coords_mode, half=bool(cc.half),
-            fullbatch=fullbatch)
+        remaining = n_steps
+        losses = None
+        while remaining > 0:
+            seg_n = min(remaining, SEGMENT_CAP)
+            st.key, seg = jax.random.split(st.key)
+            st.params, st.opt_state, losses = run_block_segment(
+                st.params, st.opt_state, st.masks, st.data, st.weight,
+                st.valid, st.shapes, seg, spec=st.spec, tx=st.tx,
+                loss_name=cc.loss.name,
+                beta=float(cc.loss.get("beta", 0.01)), weight_thres=st.thres,
+                n_steps=seg_n, sample_size=int(cc.sampler.sample_size),
+                coords_mode=cc.coords_mode, half=bool(cc.half),
+                fullbatch=fullbatch)
+            remaining -= seg_n
         return np.asarray(losses[-1])[:len(st.models)]  # drop pad blocks
 
     def _fleet_params(self, blocks: List[Dict]) -> List[Dict]:

@@ -54,6 +54,10 @@ from brief_pytorch_tpu.train.samplers import (RandomCubeSampler,
 # --------------------------------------------------------------------------
 # jitted training segment
 # --------------------------------------------------------------------------
+# Longest single on-device scan dispatched at once; checkpoint intervals are
+# split into pieces of this size (see NFGR.compress).
+SEGMENT_CAP = 2000
+
 @partial(jax.jit,
          static_argnames=("model", "sampler", "tx", "loss_name", "beta",
                           "n_steps", "half", "weight_thres"),
@@ -223,13 +227,24 @@ class NFGR:
         for ckpt in checkpoints:
             n = ckpt - step
             if n > 0:
-                key, seg_key = jax.random.split(key)
-                params, opt_state, losses = run_segment(
-                    params, opt_state, dev_data, dev_weight, seg_key,
-                    weight_thres=thres_norm, model=model, sampler=sampler,
-                    tx=tx, loss_name=loss_name, beta=beta, n_steps=n,
-                    half=self.half)
-                losses = np.asarray(losses)
+                # split into bounded scans: one checkpoint interval can be
+                # tens of thousands of steps, and a single multi-minute
+                # device dispatch risks runtime watchdogs (observed: remote
+                # TPU worker restarts); fixed-size pieces also keep the
+                # compile cache at two scan lengths.
+                losses_parts = []
+                remaining = n
+                while remaining > 0:
+                    seg = min(remaining, SEGMENT_CAP)
+                    key, seg_key = jax.random.split(key)
+                    params, opt_state, losses = run_segment(
+                        params, opt_state, dev_data, dev_weight, seg_key,
+                        weight_thres=thres_norm, model=model, sampler=sampler,
+                        tx=tx, loss_name=loss_name, beta=beta, n_steps=seg,
+                        half=self.half)
+                    losses_parts.append(np.asarray(losses))
+                    remaining -= seg
+                losses = np.concatenate(losses_parts)
                 if log is not None:
                     for i in range(n):
                         gstep = step + i + 1
