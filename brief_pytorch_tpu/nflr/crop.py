@@ -165,6 +165,7 @@ class CropDataset:
         self.shuffle_path = shuffle_path
         self.shuffle_sampler = shuffle_sampler
         self.seed = seed
+        self._draws = 0   # fresh sampler permutation per batch AND epoch
         if Transform_opt is not None:
             from brief_pytorch_tpu.nflr.transform import Transform
             self.transform = Transform.from_opt(Transform_opt)
@@ -190,8 +191,13 @@ class CropDataset:
         data, sideinfos = normalize_data(data, **self.normalize_opt)
         data = self.transform(data)
         cropped, pc_shape = crop_data(data, **self.crop_opt)
+        # derive a distinct sampler seed per draw: a fixed seed would replay
+        # the same "shuffled" coordinate permutation for every batch and
+        # every epoch (the reference's torch RNG advances between passes)
+        self._draws += 1
         sampler = CroppedSampler(cropped, self.sample_size,
-                                 self.shuffle_sampler, self.seed)
+                                 self.shuffle_sampler,
+                                 self.seed + 1000003 * self._draws)
         sideinfos = {**sideinfos, "data_shape": list(data.shape)}
         return jnp.asarray(cropped), sampler, pc_shape, sideinfos
 

@@ -153,6 +153,47 @@ def quantile_loss(params: Dict, tail_mass: float = 1e-9) -> jnp.ndarray:
     return jnp.abs(logits - targets[None, None, :]).sum()
 
 
+_ESCAPE_TAIL = 1e-4   # pmf mass reserved for the bypass/escape symbol
+
+
+def _with_escape(pmf: np.ndarray) -> np.ndarray:
+    """Append a bypass symbol to a pmf: symbols outside the table range
+    encode as the escape symbol + raw value (compressai's range coder does
+    the analogous bypass coding; silent clipping would corrupt outlier
+    latents with unbounded reconstruction error)."""
+    pmf = np.asarray(pmf, np.float64)
+    tail = max(_ESCAPE_TAIL, 1.0 - float(pmf.sum()))
+    return np.concatenate([pmf, [tail]])
+
+
+def _encode_with_escape(sym: np.ndarray, n_syms: np.ndarray,
+                        cdfs, ch_idx: np.ndarray) -> bytes:
+    """sym: table-relative ints (may be out of [0, n_syms)); n_syms: per
+    ENTRY alphabet size (escape symbol == n_syms).  Layout:
+    <u32 rans_len><rans blob><raw int32 escaped values in order>."""
+    import struct
+    sym = np.asarray(sym, np.int64)
+    esc = (sym < 0) | (sym >= n_syms)
+    coded = np.where(esc, n_syms, sym)
+    blob = rans.encode_per_channel(coded, cdfs, ch_idx)
+    raw = sym[esc].astype(np.int32).tobytes()
+    return struct.pack("<I", len(blob)) + blob + raw
+
+
+def _decode_with_escape(data: bytes, n_syms: np.ndarray, cdfs,
+                        ch_idx: np.ndarray) -> np.ndarray:
+    import struct
+    (blob_len,) = struct.unpack("<I", data[:4])
+    blob = data[4:4 + blob_len]
+    raw = np.frombuffer(data[4 + blob_len:], np.int32).astype(np.int64)
+    sym = rans.decode_per_channel(blob, cdfs, ch_idx)
+    esc = sym == n_syms
+    assert esc.sum() == len(raw), "escape count / raw payload mismatch"
+    sym = np.where(esc, 0, sym)
+    sym[esc] = raw
+    return sym
+
+
 def factorized_build_tables(params: Dict) -> Dict:
     """Per-channel quantized CDFs over [floor(q0 - median), ceil(q2 - median)]
     for the rANS codec (host-side; compressai EntropyBottleneck.update)."""
@@ -173,7 +214,7 @@ def factorized_build_tables(params: Dict) -> Dict:
             "factors": [a[c:c + 1] for a in params["factors"]],
         }
         pmf = np.asarray(factorized_likelihood(sub, flat))[0, 0]
-        cdfs.append(rans.quantize_pmf(pmf))
+        cdfs.append(rans.quantize_pmf(_with_escape(pmf)))
         offsets[c] = lo
     return {"cdfs": cdfs, "offsets": offsets, "medians": medians}
 
@@ -190,12 +231,13 @@ def factorized_compress(params: Dict, tables: Dict, y: np.ndarray
     q = np.round(np.nan_to_num(y - med)).astype(np.int64)
     strings = []
     ch_idx = np.repeat(np.arange(c), spatial)
-    n_syms_per_ch = [len(t) - 1 for t in tables["cdfs"]]
+    # last CDF symbol is the escape/bypass (see _with_escape)
+    n_syms = np.repeat(np.asarray([len(t) - 2 for t in tables["cdfs"]]),
+                       spatial)
     for i in range(n):
-        sym = q[i].reshape(c, -1) - tables["offsets"][:, None]
-        sym = np.clip(sym, 0, np.asarray(n_syms_per_ch)[:, None] - 1)
-        strings.append(rans.encode_per_channel(sym.ravel(), tables["cdfs"],
-                                               ch_idx))
+        sym = (q[i].reshape(c, -1) - tables["offsets"][:, None]).ravel()
+        strings.append(_encode_with_escape(sym, n_syms, tables["cdfs"],
+                                           ch_idx))
     return strings
 
 
@@ -205,9 +247,11 @@ def factorized_decompress(params: Dict, tables: Dict, strings: List[bytes],
     c = len(tables["cdfs"])
     spatial = int(np.prod(spatial_shape))
     ch_idx = np.repeat(np.arange(c), spatial)
+    n_syms = np.repeat(np.asarray([len(t) - 2 for t in tables["cdfs"]]),
+                       spatial)
     out = np.zeros((len(strings), c, spatial), np.float32)
     for i, s in enumerate(strings):
-        sym = rans.decode_per_channel(s, tables["cdfs"], ch_idx)
+        sym = _decode_with_escape(s, n_syms, tables["cdfs"], ch_idx)
         sym = sym.reshape(c, spatial) + tables["offsets"][:, None]
         out[i] = sym + tables["medians"][:, None]
     return out.reshape((len(strings), c) + tuple(spatial_shape))
@@ -257,7 +301,7 @@ class GaussianTables:
             up = norm.cdf((xs + 0.5) / s)
             lo = norm.cdf((xs - 0.5) / s)
             pmf = np.maximum(up - lo, LIKELIHOOD_MIN)
-            cdfs.append(rans.quantize_pmf(pmf))
+            cdfs.append(rans.quantize_pmf(_with_escape(pmf)))
             offsets[i] = -t
         return GaussianTables(cdfs, offsets, np.asarray(scale_table))
 
@@ -281,12 +325,13 @@ def gaussian_compress(tables: GaussianTables, y: np.ndarray,
         y = y - np.asarray(means, np.float64)
     q = np.round(np.nan_to_num(y)).astype(np.int64)
     strings = []
-    n_syms = np.asarray([len(c) - 1 for c in tables.cdfs])
+    # last CDF symbol is the escape/bypass (see _with_escape)
+    n_syms = np.asarray([len(c) - 2 for c in tables.cdfs])
     for i in range(y.shape[0]):
         idx = indexes[i].ravel()
         sym = q[i].ravel() - tables.offsets[idx]
-        sym = np.clip(sym, 0, n_syms[idx] - 1)
-        strings.append(rans.encode_per_channel(sym, tables.cdfs, idx))
+        strings.append(_encode_with_escape(sym, n_syms[idx], tables.cdfs,
+                                           idx))
     return strings
 
 
@@ -294,9 +339,10 @@ def gaussian_decompress(tables: GaussianTables, strings: List[bytes],
                         indexes: np.ndarray, means: np.ndarray = None
                         ) -> np.ndarray:
     out = np.zeros(indexes.shape, np.float32)
+    n_syms = np.asarray([len(c) - 2 for c in tables.cdfs])
     for i, s in enumerate(strings):
         idx = indexes[i].ravel()
-        sym = rans.decode_per_channel(s, tables.cdfs, idx)
+        sym = _decode_with_escape(s, n_syms[idx], tables.cdfs, idx)
         out[i] = (sym + tables.offsets[idx]).reshape(indexes.shape[1:])
     if means is not None:
         out = out + np.asarray(means, np.float32)

@@ -308,7 +308,7 @@ class _BaseNFLR(_BaseCompressFramework):
                               self.opt.Module.crop, True, True,
                               data_path_list=train_paths, seed=self.seed)
         tx = make_optimizer(t.optimizer_name_module, float(t.lr_module))
-        opt_state = tx.init(self._module_params())
+        opt_state = tx.init(self._train_params())
 
         max_steps = int(t.max_steps)
         log_every = int(t.get("log_every_n_step", 100))
@@ -343,6 +343,12 @@ class _BaseNFLR(_BaseCompressFramework):
 
     def _module_params(self) -> Dict:
         return {k: self.params[k] for k in self.MODULE_KEYS}
+
+    def _train_params(self) -> Dict:
+        """The exact parameter tree training_step optimizes — train() must
+        init the optimizer over THIS tree (the hyper variants' training
+        trees are supersets of their _module_params)."""
+        return self._module_params()
 
     def _set_module_params(self, p: Dict) -> None:
         for k in self.MODULE_KEYS:
@@ -894,11 +900,10 @@ def _hyper_autodecoder_step(params, opt_state, y0, z0, key, coords, values,
 
 class NFLR_Coding_Hyper_AutoDecoder(_NFLR_Coding_Hyper):
     """(reference CompressFramework.py:533-560)"""
-    MODULE_KEYS = ("phi", "gmod", "gy", "emyz_dummy", "emz")
+    MODULE_KEYS = ("phi", "gmod", "gy", "emz")
 
     def __init__(self, opt) -> None:
         super().__init__(opt)
-        self.MODULE_KEYS = ("phi", "gmod", "gy", "emz")
         self._init_phi_gmod()
         self._init_hyper()
 
@@ -928,6 +933,9 @@ class NFLR_Coding_Hyper_AutoDecoder(_NFLR_Coding_Hyper):
 
     def _module_params(self):
         return {k: self.params[k] for k in ("phi", "gmod")}
+
+    def _train_params(self):
+        return self._hyper_params()
 
 
 class NFLR_Coding_Hyper_AutoEncoder(_NFLR_Coding_Hyper):
@@ -976,6 +984,10 @@ class NFLR_Coding_Hyper_AutoEncoder(_NFLR_Coding_Hyper):
     def _module_params(self):
         return {k: self.params[k] for k in ("phi", "gmod")}
 
+    def _train_params(self):
+        return {k: self.params[k]
+                for k in ("phi", "gmod", "gy", "emz", "hy", "hz")}
+
 
 # --------------------------------------------------------------------------
 # registry + batch evaluator
@@ -1016,6 +1028,8 @@ def eval_performance(data_path_list_list: List[List[str]], compressframework,
         orig = read_data_batch(data_path_list)
         rng = max
         if rng is None:
+            # 4098 for "uint12" replicates the reference's constant
+            # (utils/tool.py:12-13), quirky as it is
             rng = {"uint8": 255, "uint12": 4098,
                    "uint16": 65535}[orig.dtype.name]
         mse = float(np.mean((orig / rng - decompressed / rng) ** 2))
@@ -1023,6 +1037,10 @@ def eval_performance(data_path_list_list: List[List[str]], compressframework,
         ssim_vals = [cal_ssim(np.moveaxis(orig[i], 0, -1),
                               np.moveaxis(np.asarray(decompressed[i]), 0, -1),
                               rng) for i in range(orig.shape[0])]
+        # PRODUCT of per-file megabytes replicates the reference exactly
+        # (CompressFramework.py:633 uses reduce(mul, ...)); for batches of
+        # more than one file this inflates/deflates the "orig size" — kept
+        # for metric parity with reference-generated CSVs
         orig_mb = float(np.prod([os.path.getsize(p) / 2 ** 20
                                  for p in data_path_list]))
         comp_mb = os.path.getsize(comp_path) / 2 ** 20

@@ -202,26 +202,30 @@ class BlockBatch:
 # vmapped training
 # --------------------------------------------------------------------------
 @partial(jax.jit,
-         static_argnames=("spec", "tx", "loss_name", "beta", "weight_thres",
+         static_argnames=("spec", "tx", "loss_name", "beta", "use_thres",
                           "n_steps", "sample_size", "coords_mode", "half",
                           "fullbatch"),
          donate_argnums=(0, 1))
 def run_block_segment(params_layers, opt_state, masks, data, weight, valid,
-                      shapes, key, *, spec: StackedChainSpec, tx,
-                      loss_name: str, beta: float, weight_thres: float,
+                      shapes, thres, key, *, spec: StackedChainSpec, tx,
+                      loss_name: str, beta: float, use_thres: bool,
                       n_steps: int, sample_size: int, coords_mode: str,
                       half: bool, fullbatch: bool):
     """n_steps of simultaneous training for all B blocks (one scan).
 
     Each step vmaps sample+forward+backward+update over the block axis;
     blocks are independent so the sharded program has no collectives.
+    thres: (B,) per-block normalized weight_thres — each block normalizes
+    the config threshold with its OWN min/max (reference: each child runs
+    main.py:380-383 on its own chunk), so it cannot be a shared scalar.
     Returns (params_layers, opt_state, losses (n_steps, B)).
     """
     loss_fn = make_loss(loss_name, beta)
     compute_dtype = jnp.bfloat16 if half else None
     B = data.shape[0]
 
-    def block_loss(layers_b, masks_b, data_b, weight_b, valid_b, shape_b, key_b):
+    def block_loss(layers_b, masks_b, data_b, weight_b, valid_b, shape_b,
+                   thres_b, key_b):
         if fullbatch:
             idx = jnp.arange(data.shape[1])
             vals = data_b
@@ -237,15 +241,19 @@ def run_block_segment(params_layers, opt_state, masks, data, weight, valid,
         pred = stacked_apply(layers_b, masks_b, coords, spec, compute_dtype)
         pred = pred.astype(vals.dtype)
         if sample_valid is None:
-            return loss_fn(vals, pred, wts, weight_thres)
+            # apply the weight_thres override here: thres_b is traced
+            # (per-block), so the loss fn's python-level `if` can't see it
+            if use_thres:
+                wts = jnp.where(pred <= thres_b, 1.0, wts)
+            return loss_fn(vals, pred, wts, None)
         # full-batch: mean over valid voxels only
         err = (pred - vals) ** 2 if loss_name == "datal2" else None
         if err is None:
             d = jnp.abs(pred - vals)
             err = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
         w = wts
-        if weight_thres:
-            w = jnp.where(pred <= weight_thres, 1.0, w)
+        if use_thres:
+            w = jnp.where(pred <= thres_b, 1.0, w)
         err = err * w * sample_valid
         return err.sum() / jnp.maximum(valid_b.astype(jnp.float32), 1.0)
 
@@ -253,20 +261,9 @@ def run_block_segment(params_layers, opt_state, masks, data, weight, valid,
         params_layers, opt_state = carry
         keys = jax.random.split(key, B)
 
-        def per_block(layers_b, masks_b, data_b, weight_b, valid_b, shape_b,
-                      key_b):
-            return jax.value_and_grad(block_loss)(layers_b, masks_b, data_b,
-                                                  weight_b, valid_b, shape_b,
-                                                  key_b)
-
-        # grad wrt layers only; vmap over blocks
-        def vloss(layers_b, masks_b, data_b, weight_b, valid_b, shape_b, key_b):
-            return block_loss(layers_b, masks_b, data_b, weight_b, valid_b,
-                              shape_b, key_b)
-
         losses, grads = jax.vmap(
-            jax.value_and_grad(vloss), in_axes=(0, 0, 0, 0, 0, 0, 0)
-        )(params_layers, masks, data, weight, valid, shapes, keys)
+            jax.value_and_grad(block_loss), in_axes=(0,) * 8
+        )(params_layers, masks, data, weight, valid, shapes, thres, keys)
         updates, new_opt_state = jax.vmap(tx.update)(grads, opt_state,
                                                      params_layers)
         params_layers = optax.apply_updates(params_layers, updates)
@@ -317,7 +314,8 @@ class _BucketState:
     shapes: object
     tx: object
     key: object
-    thres: float
+    thres: object                      # (B,) per-block normalized thresholds
+    use_thres: bool = True
     sampler_name: str = "randompoint"  # post cube_size_guard (per bucket)
 
 
@@ -411,6 +409,12 @@ class BlockFleetTrainer:
                                pad(batch.valid), pad(batch.shapes),
                                batch.vmax, batch.ndim)
 
+        thres_host = np.asarray([float(b.get("weight_thres_norm", 0.0))
+                                 for b in sub], np.float32)
+        thres_arr = jnp.asarray(thres_host)
+        if target > B:
+            thres_arr = pad(thres_arr)
+
         tx = make_optimizer(cc.optimizer_name_phi, float(cc.lr_phi),
                             cc.lr_scheduler_phi)
         opt_state = jax.vmap(tx.init)(params_layers)
@@ -427,7 +431,8 @@ class BlockFleetTrainer:
             valid=jax.device_put(batch.valid, bs),
             shapes=jax.device_put(batch.shapes, bs),
             tx=tx, key=jax.random.PRNGKey(self.seed + 1),
-            thres=float(sub[0].get("weight_thres_norm", 0.0)),
+            thres=jax.device_put(thres_arr, bs),
+            use_thres=bool(np.any(thres_host != 0.0)),
             sampler_name=sub[0].get("sampler_name", cc.sampler.name))
 
     def _run_segment(self, st: _BucketState, cc, n_steps: int) -> np.ndarray:
@@ -445,9 +450,10 @@ class BlockFleetTrainer:
             st.key, seg = jax.random.split(st.key)
             st.params, st.opt_state, losses = run_block_segment(
                 st.params, st.opt_state, st.masks, st.data, st.weight,
-                st.valid, st.shapes, seg, spec=st.spec, tx=st.tx,
+                st.valid, st.shapes, st.thres, seg, spec=st.spec, tx=st.tx,
                 loss_name=cc.loss.name,
-                beta=float(cc.loss.get("beta", 0.01)), weight_thres=st.thres,
+                beta=float(cc.loss.get("beta", 0.01)),
+                use_thres=st.use_thres,
                 n_steps=seg_n, sample_size=int(cc.sampler.sample_size),
                 coords_mode=cc.coords_mode, half=bool(cc.half),
                 fullbatch=fullbatch)

@@ -65,6 +65,12 @@ def _dp_segment(params, opt_state, data_sharded, weight_sharded, key, *,
                 vals = local_data[idx]
                 wts = local_weight[idx]
                 gidx = rank * local_pop + idx
+                # padding rows (pop not divisible by the shard count) hold
+                # copies of voxel 0 — map their global index back to 0 so
+                # the coords match the values instead of falling outside
+                # the volume
+                true_pop = int(np.prod(spatial_shape))
+                gidx = jnp.where(gidx < true_pop, gidx, 0)
                 coords = index_to_coords(gidx, spatial_shape, coords_mode,
                                          vals.dtype)
                 pred = model.apply(p, coords, compute_dtype=compute_dtype)

@@ -60,27 +60,43 @@ SEGMENT_CAP = 2000
 
 @partial(jax.jit,
          static_argnames=("model", "sampler", "tx", "loss_name", "beta",
-                          "n_steps", "half", "weight_thres"),
+                          "n_steps", "half", "weight_thres", "fused"),
          donate_argnums=(0, 1))
 def run_segment(params, opt_state, data, weight, key, *,
                 weight_thres: float, model, sampler, tx, loss_name: str,
-                beta: float, n_steps: int, half: bool):
+                beta: float, n_steps: int, half: bool, fused=False):
     """Run n_steps of training as one on-device scan.
 
+    fused: False (XLA autodiff), True (fully fused Pallas fwd+loss+bwd
+    kernel, ops/pallas_train.py — opt-in via Compress.fused_train), or
+    "interpret" (the kernel in interpreter mode, for CPU tests).
     Returns (params, opt_state, per-step losses).
     """
     loss_fn = make_loss(loss_name, beta)
     compute_dtype = jnp.bfloat16 if half else None
+    if fused:
+        from brief_pytorch_tpu.ops.pallas_siren import chain_layer_specs
+        from brief_pytorch_tpu.ops.pallas_train import fused_train_grads
+        acts = chain_layer_specs(model.spec)
 
     def step_fn(carry, key):
         params, opt_state = carry
 
-        def loss_f(p):
+        if fused:
             coords, vals, wts = sampler.sample(key, data, weight)
-            pred = model.apply(p, coords, compute_dtype=compute_dtype)
-            return loss_fn(vals, pred.astype(vals.dtype), wts, weight_thres)
+            loss, grads = fused_train_grads(
+                params["layers"], coords.T, vals.T, wts.T, acts,
+                loss_name=loss_name, beta=beta,
+                weight_thres=weight_thres or None, half=half,
+                interpret=fused == "interpret")
+        else:
+            def loss_f(p):
+                coords, vals, wts = sampler.sample(key, data, weight)
+                pred = model.apply(p, coords, compute_dtype=compute_dtype)
+                return loss_fn(vals, pred.astype(vals.dtype), wts,
+                               weight_thres)
 
-        loss, grads = jax.value_and_grad(loss_f)(params)
+            loss, grads = jax.value_and_grad(loss_f)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
@@ -220,6 +236,15 @@ class NFGR:
         loss_name = self.opt.Compress.loss.name
         beta = float(self.opt.Compress.loss.get("beta", 0.01))
 
+        # opt-in fused Pallas train kernel (Compress.fused_train); requires
+        # a plain f32 chain and a TPU backend (see ops/pallas_train.py)
+        fused = False
+        if self.opt.Compress.get("fused_train", False) and not self.half:
+            from brief_pytorch_tpu.ops.pallas_train import supports_training
+            if supports_training(model, loss_name) and \
+                    jax.devices()[0].platform not in ("cpu",):
+                fused = True
+
         key = jax.random.PRNGKey(self.seed)
         step = 0
         summary = {}
@@ -241,7 +266,7 @@ class NFGR:
                         params, opt_state, dev_data, dev_weight, seg_key,
                         weight_thres=thres_norm, model=model, sampler=sampler,
                         tx=tx, loss_name=loss_name, beta=beta, n_steps=seg,
-                        half=self.half)
+                        half=self.half, fused=fused)
                     losses_parts.append(np.asarray(losses))
                     remaining -= seg
                 losses = np.concatenate(losses_parts)

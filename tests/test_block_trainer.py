@@ -115,6 +115,30 @@ lr_scheduler_phi: {name: none}
         assert decoded[0].shape == (8, 8, 8, 1)
         assert decoded[1].shape == (4, 8, 8, 1)
 
+    def test_per_block_weight_thres(self):
+        """Each block normalizes weight_thres with its OWN min/max
+        (reference: each child runs main.py:380-383 on its own chunk); two
+        blocks sharing a bucket must train with their own thresholds, not
+        the first block's."""
+        blocks = self._blocks([8, 8], [(6, 6, 6), (6, 6, 6)])
+        # fresh SIREN predictions are near 0, so the override condition
+        # pred <= thres differs only with thresholds straddling 0
+        blocks[0]["weight_thres_norm"] = -1e6   # never overrides
+        blocks[1]["weight_thres_norm"] = 1e6    # overrides everywhere
+        # zero voxel weights: block 1's loss becomes fully weighted (1.0)
+        # via its override; block 0's stays zero-weighted
+        for b in blocks:
+            b["weight"] = np.zeros_like(b["weight"])
+        trainer = BlockFleetTrainer(seed=0)
+        cc = self._cc()
+        cc.loss.weight_thres = 1  # enables the override path
+        seen = {}
+        trainer.train(blocks, cc, max_steps=1, checkpoints=[1],
+                      progress_cb=lambda s, l: seen.update({s: l.copy()}))
+        assert len(trainer._states) == 1, "blocks must share one bucket"
+        l0, l1 = seen[1]
+        assert l1 > 100 * max(l0, 1e-9), (l0, l1)
+
     def test_cube_guard_buckets_big_blocks_to_randompoint(self):
         """randomcube on a block bigger than 80^3 must fall back to
         randompoint per block (the reference's child-process guard,

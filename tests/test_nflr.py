@@ -280,12 +280,14 @@ class TestFrameworks:
         tx = make_optimizer("Adam", 1e-3)
         opt_state = tx.init(fw._module_params())
         losses = []
-        for _ in range(3):
+        for _ in range(12):
             for coords, values in sampler:
                 loss, opt_state = fw.training_step(
                     cropped, pc_shape, side, coords, values, tx, opt_state)
                 losses.append(float(loss))
-        assert losses[-1] < losses[0]
+        # batches vary per step (fresh y0 + sampler reseeding), so compare
+        # averaged early vs late loss rather than two noisy endpoints
+        assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
     def test_coding_autodecoder_bitstream(self, tiny_volumes, tmp_path):
         fw = self._fw("NFLR_Coding_AutoDecoder")
@@ -341,3 +343,34 @@ class TestFrameworks:
             for a, b in zip(jax.tree_util.tree_leaves(fw.params),
                             jax.tree_util.tree_leaves(fw2.params)):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEscapeCoding:
+    """Out-of-table symbols must round-trip via the bypass/escape path
+    (compressai's backend bypass-codes them; silent clipping would corrupt
+    outlier latents)."""
+
+    def test_factorized_outlier_roundtrip(self):
+        key = jax.random.PRNGKey(0)
+        params = em.factorized_init(key, channels=3)
+        tables = em.factorized_build_tables(params)
+        rng = np.random.default_rng(0)
+        y = rng.normal(0, 2, (2, 3, 3, 3, 3)).astype(np.float32)
+        y[0, 1, 0, 0, 0] = 500.0    # far outside the quantile range
+        y[1, 2, 1, 1, 1] = -500.0
+        strings = em.factorized_compress(params, tables, y)
+        back = em.factorized_decompress(params, tables, strings, (3, 3, 3))
+        med = tables["medians"].reshape(1, 3, 1, 1, 1)
+        np.testing.assert_array_equal(back,
+                                      np.round(y - med) + med)
+
+    def test_gaussian_outlier_roundtrip(self):
+        tables = em.GaussianTables.build()
+        rng = np.random.default_rng(1)
+        scales = np.abs(rng.normal(1, 0.5, (2, 4, 2, 2, 2))) + 0.2
+        idx = em.build_indexes(scales, tables.scale_table)
+        y = rng.normal(0, 1, scales.shape).astype(np.float32)
+        y[0, 0, 0, 0, 0] = 1e5      # way beyond any table tail
+        strings = em.gaussian_compress(tables, y, idx)
+        back = em.gaussian_decompress(tables, strings, idx)
+        np.testing.assert_array_equal(back, np.round(y))

@@ -114,3 +114,32 @@ def test_supports_training():
     nerf = init_phi({"name": "NeRF", "coords_channel": 3,
                      "data_channel": 1, "features": 16, "layers": 4})
     assert not pt.supports_training(nerf, "datal2")
+
+
+def test_run_segment_fused_matches_xla_path():
+    """run_segment(fused="interpret") trains identically (same PRNG keys ->
+    same batches) to the XLA path within float tolerance."""
+    import numpy as np
+    from brief_pytorch_tpu.train.fit import run_segment
+    from brief_pytorch_tpu.train.optim import make_optimizer
+    from brief_pytorch_tpu.train.samplers import RandomPointSampler
+
+    model, params, *_ = _setup(features=16, layers=4)
+    tx = make_optimizer("Adamax", 1e-3, {"name": "none"})
+    sampler = RandomPointSampler((8, 8, 8), "-1,1", 256)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.random((512, 1)).astype(np.float32))
+    wt = jnp.ones_like(data)
+    kw = dict(weight_thres=0.9, model=model, sampler=sampler, tx=tx,
+              loss_name="datal2", beta=0.01, n_steps=5, half=False)
+
+    p1, _, l1 = run_segment(jax.tree.map(jnp.copy, params), tx.init(params),
+                            data, wt, jax.random.PRNGKey(7), fused=False,
+                            **kw)
+    p2, _, l2 = run_segment(jax.tree.map(jnp.copy, params), tx.init(params),
+                            data, wt, jax.random.PRNGKey(7),
+                            fused="interpret", **kw)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4)
+    for a, b in zip(p1["layers"], p2["layers"]):
+        np.testing.assert_allclose(np.asarray(a["w"]), np.asarray(b["w"]),
+                                   atol=1e-5)
