@@ -7,7 +7,12 @@ directory names ('d_{z0}_{z1}-h_{y0}_{y1}-w_{x0}_{x1}').
 
 Numerics contract: the reference ships two implementations that differ in
 arithmetic (deblock.py:29-31 uses float division; deblock.cpp:47-49 promotes
-to int and truncates).  We standardise on the *integer* (C++/H.264) variant
+to int and truncates).  We standardise on the *integer* (C++/H.264) variant.
+A second deliberate divergence: block/module listings are SORTED here —
+the reference applies boundary lines in raw os.listdir order, making its
+output depend on filesystem readdir order (in-place filtering is
+order-sensitive); see tests/test_reference_deblock.py for the measured
+envelope vs both reference tools
 in both our Python and our C++ tool (native/deblock.cpp) so the two are
 bit-identical — verified in tests/test_deblock.py.
 
