@@ -258,15 +258,20 @@ class Tree:
     def draw(self, data: np.ndarray) -> np.ndarray:
         """Draw selected-block boundaries (value 2000 for 3-D, red rect for
         2-D) — reference adaptive_blocking.py:115-123,360-373."""
+        # clamp the boundary marker to the dtype range (the reference's
+        # bare 2000 overflows uint8 volumes)
+        marker = 2000
+        if np.issubdtype(data.dtype, np.integer):
+            marker = min(2000, int(np.iinfo(data.dtype).max))
         for p in self.get_active():
             if self.ndim == 3:
                 x, y, z, w, h, d = p.x, p.y, p.z, p.w, p.h, p.d
-                data[z, y:y + h, x:x + w] = 2000
-                data[z + d - 1, y:y + h, x:x + w] = 2000
-                data[z:z + d, y, x:x + w] = 2000
-                data[z:z + d, y + h - 1, x:x + w] = 2000
-                data[z:z + d, y:y + h, x] = 2000
-                data[z:z + d, y:y + h, x + w - 1] = 2000
+                data[z, y:y + h, x:x + w] = marker
+                data[z + d - 1, y:y + h, x:x + w] = marker
+                data[z:z + d, y, x:x + w] = marker
+                data[z:z + d, y + h - 1, x:x + w] = marker
+                data[z:z + d, y:y + h, x] = marker
+                data[z:z + d, y:y + h, x + w - 1] = marker
             else:
                 try:
                     import cv2
@@ -296,14 +301,20 @@ def adaptive_cal_tree(img_path: str, param_size: float, var_thr: float = -1,
     dimension = get_dimension(img_path)
     img = read_img(img_path)
     data = img.copy()
+    def _to_gray(rgb):
+        try:  # cv2's RGB2GRAY weights (reference adaptive_blocking.py:391-406)
+            import cv2
+            return cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
+        except Exception:
+            return rgb.mean(-1).astype(rgb.dtype)
+
     if data.ndim == 4:
         if data.shape[-1] == 3:
-            data = data.mean(-1).astype(data.dtype)
+            data = np.stack([_to_gray(data[i]) for i in range(data.shape[0])])
         elif data.shape[-1] == 1:
             data = data[..., 0]
     elif data.ndim == 3 and data.shape[-1] in (1, 3):
-        data = data.mean(-1).astype(data.dtype) if data.shape[-1] == 3 \
-            else data[..., 0]
+        data = _to_gray(data) if data.shape[-1] == 3 else data[..., 0]
     if Nb == -1:
         Nb = max(1, int(param_size / (4 * 1361)))
     arity_log = dimension  # log2(arity) = ndim
