@@ -287,6 +287,20 @@ QuadTree = Tree
 OctTree = Tree
 
 
+def _to_gray(rgb: np.ndarray) -> np.ndarray:
+    """Grayscale for FFT scoring with cv2's RGB2GRAY weights (the
+    reference's scoring input, adaptive_blocking.py:391-406); channels
+    beyond 3 (e.g. RGBA pngs) are dropped first."""
+    from brief_pytorch_tpu.io.image import _HAS_CV2
+    rgb = rgb[..., :3]
+    if rgb.shape[-1] == 1:
+        return rgb[..., 0]
+    if _HAS_CV2:
+        import cv2
+        return cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
+    return rgb.mean(-1).astype(rgb.dtype)
+
+
 def adaptive_cal_tree(img_path: str, param_size: float, var_thr: float = -1,
                       e_thr: float = -1, gpu_limit: int = 1024000,
                       maxl: int = -1, minl: int = -1, Nb: int = -1):
@@ -301,30 +315,23 @@ def adaptive_cal_tree(img_path: str, param_size: float, var_thr: float = -1,
     dimension = get_dimension(img_path)
     img = read_img(img_path)
     data = img.copy()
-    def _to_gray(rgb):
-        try:  # cv2's RGB2GRAY weights (reference adaptive_blocking.py:391-406)
-            import cv2
-            return cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
-        except Exception:
-            return rgb.mean(-1).astype(rgb.dtype)
-
     if data.ndim == 4:
-        if data.shape[-1] == 3:
-            data = np.stack([_to_gray(data[i]) for i in range(data.shape[0])])
-        elif data.shape[-1] == 1:
+        if data.shape[-1] == 1:
             data = data[..., 0]
-    elif data.ndim == 3 and data.shape[-1] in (1, 3):
-        data = _to_gray(data) if data.shape[-1] == 3 else data[..., 0]
+        else:
+            data = np.stack([_to_gray(data[i]) for i in range(data.shape[0])])
+    elif data.ndim == 3:
+        data = _to_gray(data) if data.shape[-1] > 1 else data[..., 0]
     if Nb == -1:
         Nb = max(1, int(param_size / (4 * 1361)))
-    arity_log = dimension  # log2(arity) = ndim
     minl_calc = math.floor(math.log(Nb, 2 ** dimension)) if Nb > 1 else 0
     if minl == -1 or maxl == -1:
         minl = minl_calc
         maxl = minl + 2
     tree = Tree(data, maxl, var_thr, e_thr)
     tree.solve_optim(Nb, minl)
-    save_data = img.copy()
-    save_data = tree.draw(save_data if save_data.ndim <= 3
-                          else save_data[..., 0])
+    # draw into the FULL original array: for (d,h,w,c) the 3-D indexing
+    # broadcasts the marker across channels, exactly as the reference's
+    # draw on its full save_data does (adaptive_blocking.py:417-419)
+    save_data = tree.draw(img.copy())
     return tree, save_data, dimension

@@ -174,3 +174,48 @@ class TestFeature:
         # flat block: all FFT energy at DC -> max/sum = 1
         assert cal_feature(flat[..., None]) == pytest.approx(1.0)
         assert cal_feature(sharp[..., None]) < 0.5
+
+
+class TestAdaptiveInputHandling:
+    """Marker clamping and grayscale scoring-input handling in
+    adaptive_cal_tree / Tree.draw (reference adaptive_blocking.py:385-423)."""
+
+    def _adaptive(self, arr, tmp_path, name):
+        from brief_pytorch_tpu.io.image import save_img
+        from brief_pytorch_tpu.partition.tree import adaptive_cal_tree
+        p = str(tmp_path / name)
+        save_img(p, arr)
+        return adaptive_cal_tree(p, 4 * 1361 * 6)
+
+    def test_uint8_volume_marker_clamps(self, tmp_path):
+        rng = np.random.default_rng(0)
+        vol = rng.integers(0, 255, (8, 16, 16, 1)).astype(np.uint8)
+        tree, viz, dim = self._adaptive(vol, tmp_path, "v.tif")
+        assert dim == 3 and viz.dtype == np.uint8
+        assert viz.max() == 255  # marker clamped to dtype max, no overflow
+
+    def test_rgb_volume_viz_keeps_channels(self, tmp_path):
+        rng = np.random.default_rng(1)
+        vol = rng.integers(0, 200, (8, 16, 16, 3)).astype(np.uint8)
+        tree, viz, dim = self._adaptive(vol, tmp_path, "v.tif")
+        assert viz.shape == vol.shape  # full-channel draw (broadcast marker)
+        assert (viz == 255).any()
+
+    def test_rgb_gray_uses_cv2_weights(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from brief_pytorch_tpu.partition.tree import _to_gray
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            _to_gray(img), cv2.cvtColor(img, cv2.COLOR_RGB2GRAY))
+        # RGBA drops alpha first
+        rgba = np.concatenate([img, 255 * np.ones((16, 16, 1), np.uint8)],
+                              axis=-1)
+        np.testing.assert_array_equal(_to_gray(rgba), _to_gray(img))
+
+    def test_rgba_png_adaptive_runs(self, tmp_path):
+        rng = np.random.default_rng(3)
+        rgba = rng.integers(0, 255, (32, 32, 4)).astype(np.uint8)
+        tree, viz, dim = self._adaptive(rgba, tmp_path, "v.png")
+        assert dim == 2
+        assert all(p.w <= 32 and p.h <= 32 for p in tree.get_active())
