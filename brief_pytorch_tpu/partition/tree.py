@@ -143,7 +143,13 @@ class Tree:
     def _score(self):
         for p in self.patch_list:
             if not p.prune:
-                p.feature = cal_feature(p.data)
+                # 3-D node data must reach cal_feature 4-dim so it takes the
+                # 3-axis FFT branch: cal_feature's 3-dim convention means
+                # "(h,w,c) image" (2-axis FFT), which would mis-score volume
+                # nodes (the reference keeps a trailing 1-channel on its
+                # octree nodes for the same reason, adaptive_blocking.py:246)
+                d = p.data[..., None] if self.ndim == 3 else p.data
+                p.feature = cal_feature(d)
 
     # ------------------------------------------------------------- solve --
     def solve_optim(self, Nb: int, min_level: int) -> float:
