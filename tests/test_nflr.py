@@ -374,3 +374,37 @@ class TestEscapeCoding:
         strings = em.gaussian_compress(tables, y, idx)
         back = em.gaussian_decompress(tables, strings, idx)
         np.testing.assert_array_equal(back, np.round(y))
+
+
+class TestTrainEntry:
+    """fw.train() must run for EVERY framework variant: the optimizer must
+    be initialized over the exact tree training_step optimizes (the hyper
+    variants' training trees are supersets of their _module_params — this
+    crashed with a pytree-structure mismatch before _train_params)."""
+
+    @pytest.mark.parametrize("name", [
+        "NFLR_AutoDecoder",
+        "NFLR_AutoEncoder",
+        "NFLR_Coding_AutoDecoder",
+        "NFLR_Coding_AutoEncoder",
+        "NFLR_Coding_Hyper_AutoDecoder",
+        "NFLR_Coding_Hyper_AutoEncoder",
+    ])
+    def test_train_runs(self, name, tiny_volumes, tmp_path, monkeypatch):
+        import shutil
+        from brief_pytorch_tpu.nflr.framework import init_compressframework
+        fw = init_compressframework(_nflr_opt(name))
+        train_dir = tmp_path / "train"
+        val_dir = tmp_path / "val"
+        train_dir.mkdir(), val_dir.mkdir()
+        for p in tiny_volumes:
+            shutil.copy(p, train_dir)
+        shutil.copy(tiny_volumes[0], val_dir)
+        fw.opt.Train.train_data_dir = str(train_dir)
+        fw.opt.Train.val_data_dir = str(val_dir)
+        fw.opt.Train.max_steps = 2
+        fw.train(str(tmp_path / "run"))
+        # final checkpoint written
+        import os
+        trained = os.listdir(tmp_path / "run" / "trained_module")
+        assert any(f.endswith(".pt") for f in trained)
