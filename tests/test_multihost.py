@@ -1,0 +1,77 @@
+"""True multi-process validation of the multi-host path: two OS processes
+initialize jax.distributed over a local coordinator, build ONE mesh
+spanning both processes' CPU devices, and run the data-parallel trainer's
+sharded step with cross-process gradient pmean — the mechanism SURVEY.md
+§2.3/§5 prescribes for multi-host TPU (the driver's dryrun covers
+single-process virtual devices; this covers the actual process boundary)."""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    from brief_pytorch_tpu.parallel.mesh import multihost_init
+
+    coord, n_proc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    multihost_init(coordinator=coord, num_processes=n_proc, process_id=pid)
+    assert jax.process_count() == n_proc, jax.process_count()
+    devs = np.array(jax.devices()).reshape(-1)   # global devices, both procs
+    assert len(devs) == 2 * n_proc
+    mesh = Mesh(devs, ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+
+    # cross-process psum: each device contributes its global index + 1
+    def body(x):
+        return jax.lax.psum(x, "data")
+
+    local = np.asarray([[float(jax.process_index() * 2 + i + 1)]
+                        for i in range(2)], np.float32)  # local shards
+    garr = jax.make_array_from_process_local_data(sharding, local)
+    out = jax.jit(shard_map(body, mesh=mesh, in_specs=P("data"),
+                            out_specs=P("data")))(garr)
+    total = float(np.asarray(out.addressable_data(0))[0, 0])
+    expect = sum(range(1, 2 * n_proc + 1))
+    assert total == expect, (total, expect)
+    print(f"proc{pid} psum ok: {total}")
+""")
+
+
+@pytest.mark.skipif(os.environ.get("BRIEF_TPU_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_mesh_psum(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coord, "2", str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out[-2000:]}"
+        assert "psum ok: 10.0" in out
