@@ -441,12 +441,16 @@ class BlockFleetTrainer:
         Scans are dispatched in SEGMENT_CAP-sized pieces — a single
         multi-minute device dispatch risks runtime watchdogs (see
         train/fit.py), and the pieces share one compiled shape."""
-        from brief_pytorch_tpu.train.fit import SEGMENT_CAP
+        from brief_pytorch_tpu.train.fit import segment_cap
         fullbatch = st.sampler_name == "randomcube"
+        B = int(st.data.shape[0])
+        per_block = (int(st.data.shape[1]) if fullbatch
+                     else int(cc.sampler.sample_size))
+        cap = segment_cap(B * per_block)
         remaining = n_steps
         losses = None
         while remaining > 0:
-            seg_n = min(remaining, SEGMENT_CAP)
+            seg_n = min(remaining, cap)
             st.key, seg = jax.random.split(st.key)
             st.params, st.opt_state, losses = run_block_segment(
                 st.params, st.opt_state, st.masks, st.data, st.weight,

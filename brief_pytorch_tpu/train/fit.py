@@ -55,8 +55,19 @@ from brief_pytorch_tpu.train.samplers import (RandomCubeSampler,
 # jitted training segment
 # --------------------------------------------------------------------------
 # Longest single on-device scan dispatched at once; checkpoint intervals are
-# split into pieces of this size (see NFGR.compress).
+# split into pieces of this size (see NFGR.compress).  The step cap alone
+# does not bound dispatch TIME (a big fleet's steps are much slower), so
+# the coordinate budget caps total work per dispatch — multi-minute single
+# dispatches crash the remote runtime's watchdog.
 SEGMENT_CAP = 2000
+SEGMENT_COORD_BUDGET = 300_000_000
+
+
+def segment_cap(coords_per_step: int) -> int:
+    """Steps per dispatch bounded by both the step cap and the coordinate
+    budget (>= 50 so tiny dispatches don't dominate with fixed overhead)."""
+    by_work = max(50, SEGMENT_COORD_BUDGET // max(1, coords_per_step))
+    return min(SEGMENT_CAP, by_work)
 
 @partial(jax.jit,
          static_argnames=("model", "sampler", "tx", "loss_name", "beta",
@@ -204,6 +215,7 @@ class NFGR:
             c = data_norm.shape[-1]
             dev_data = jnp.asarray(data_norm.reshape(-1, c))
             dev_weight = jnp.asarray(weight.reshape(-1, c))
+            coords_per_step = sampler.sample_size
         elif self.opt.Compress.sampler.name == "randomcube":
             clipped = tuple(min(int(c), s) for c, s in zip(cube_len, spatial))
             sampler = RandomCubeSampler(spatial, mode,
@@ -211,6 +223,7 @@ class NFGR:
                                         clipped)
             dev_data = jnp.asarray(data_norm)
             dev_weight = jnp.asarray(weight)
+            coords_per_step = sampler.cube_count * int(np.prod(clipped))
         else:
             raise NotImplementedError(self.opt.Compress.sampler.name)
 
@@ -259,8 +272,9 @@ class NFGR:
                 # compile cache at two scan lengths.
                 losses_parts = []
                 remaining = n
+                cap = segment_cap(coords_per_step)
                 while remaining > 0:
-                    seg = min(remaining, SEGMENT_CAP)
+                    seg = min(remaining, cap)
                     key, seg_key = jax.random.split(key)
                     params, opt_state, losses = run_segment(
                         params, opt_state, dev_data, dev_weight, seg_key,
