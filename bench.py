@@ -16,12 +16,17 @@ driver's trend line, not a vendor claim.)
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 REFERENCE_COORDS_PER_SEC = 8.5e6  # anchor (see module docstring)
-FIXTURE = "/root/reference/dataset/brain/64x64x64/brain-64_128-64_128-192_256.tif"
+_HERE = os.path.dirname(os.path.abspath(__file__))
+FIXTURE = os.path.join(_HERE, "dataset", "brain", "64x64x64",
+                       "brain-64_128-64_128-192_256.tif")
+if not os.path.exists(FIXTURE):
+    FIXTURE = "/root/reference/dataset/brain/64x64x64/brain-64_128-64_128-192_256.tif"
 
 
 def main():

@@ -41,30 +41,30 @@ def _gauss_kernel1d(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     return g / g.sum()
 
 
-def _filter_sep2d(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Separable valid-mode gaussian blur over the last two axes of (n,c,h,w).
+def _conv_last(z: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """Valid 1-D correlation along the last axis — the ONE place the SSIM
+    filters build a conv.
 
-    Axes smaller than the window are left unfiltered (reference
-    utils/ssim.py:44-51 skips those dims with a warning)."""
+    precision=HIGHEST is load-bearing: TPU convs default to bf16 multiplies,
+    which perturbed SSIM by ~0.03 on uint16-range volumes (observed 0.9348
+    vs the true 0.9601).  Axes smaller than the window pass through
+    unfiltered (reference utils/ssim.py:44-51 skips those dims)."""
     k = win.shape[0]
+    if z.shape[-1] < k:
+        return z
+    out = jax.lax.conv_general_dilated(
+        z.reshape((-1, 1, z.shape[-1])),
+        win.reshape((1, 1, k)),
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(z.shape[:-1] + (z.shape[-1] - k + 1,))
 
-    def conv_last(z):
-        # z: (..., L); valid 1-D convolution (correlation) along L
-        if z.shape[-1] < k:
-            return z
-        # precision=HIGHEST: TPU convs default to bf16 multiplies, which
-        # perturbs SSIM by ~0.03 on uint16-range volumes (observed 0.9348
-        # vs the true 0.9601); the metric must be trustworthy.
-        out = jax.lax.conv_general_dilated(
-            z.reshape((-1, 1, z.shape[-1])),
-            win.reshape((1, 1, k)),
-            window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGHEST)
-        return out.reshape(z.shape[:-1] + (z.shape[-1] - k + 1,))
 
-    x = conv_last(x)                       # blur along w
-    x = jnp.swapaxes(conv_last(jnp.swapaxes(x, -1, -2)), -1, -2)  # along h
+def _filter_sep2d(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """Separable valid-mode gaussian blur over the last two axes of (n,c,h,w)."""
+    x = _conv_last(x, win)                 # blur along w
+    x = jnp.swapaxes(_conv_last(jnp.swapaxes(x, -1, -2), win), -1, -2)
     return x
 
 
@@ -76,14 +76,7 @@ def _filter_sep_nd(x: jnp.ndarray, win: jnp.ndarray, spatial_dims: int
     assert spatial_dims == 3
     x = _filter_sep2d(x, win)                      # along w, h
     x = jnp.moveaxis(x, -3, -1)                    # (n, c, h, w, d)
-    k = win.shape[0]
-    if x.shape[-1] >= k:                           # skip small depth (see
-        out = jax.lax.conv_general_dilated(        # _filter_sep2d docstring)
-            x.reshape((-1, 1, x.shape[-1])), win.reshape((1, 1, k)),
-            window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGHEST)
-        x = out.reshape(x.shape[:-1] + (x.shape[-1] - k + 1,))
+    x = _conv_last(x, win)                         # along d
     return jnp.moveaxis(x, -1, -3)                 # back to (n, c, d, h, w)
 
 

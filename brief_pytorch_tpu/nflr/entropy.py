@@ -188,7 +188,10 @@ def _decode_with_escape(data: bytes, n_syms: np.ndarray, cdfs,
     raw = np.frombuffer(data[4 + blob_len:], np.int32).astype(np.int64)
     sym = rans.decode_per_channel(blob, cdfs, ch_idx)
     esc = sym == n_syms
-    assert esc.sum() == len(raw), "escape count / raw payload mismatch"
+    if int(esc.sum()) != len(raw):   # not assert: must fire under python -O
+        raise ValueError(
+            f"corrupt bitstream: {int(esc.sum())} escape symbols but "
+            f"{len(raw)} raw values in the bypass payload")
     sym = np.where(esc, 0, sym)
     sym[esc] = raw
     return sym

@@ -926,7 +926,7 @@ class NFLR_Coding_Hyper_AutoDecoder(_NFLR_Coding_Hyper):
             tx_z=self._opt_tx(t.optimizer_name_z, t.lr_z),
             argmin_steps=int(t.argmin_steps),
             loss_un=self._loss_rd_hyper_un)
-        for k in ("phi", "gmod", "gy", "emz"):
+        for k in self.MODULE_KEYS:
             self.params[k] = new_params[k]
         self.update_z_quantiles_once()
         return loss, opt_state
@@ -962,9 +962,11 @@ class NFLR_Coding_Hyper_AutoEncoder(_NFLR_Coding_Hyper):
         z = self.module["hz"].apply(self.params["hz"], y)
         return y, z
 
+    TRAIN_KEYS = ("phi", "gmod", "gy", "emz", "hy", "hz")
+
     def training_step(self, cropped, pc_shape, sideinfos, coords, values,
                       tx, opt_state):
-        keys = ("phi", "gmod", "gy", "emz", "hy", "hz")
+        keys = self.TRAIN_KEYS
         params = {k: self.params[k] for k in keys}
         key = self._next_key()
 
@@ -985,8 +987,7 @@ class NFLR_Coding_Hyper_AutoEncoder(_NFLR_Coding_Hyper):
         return {k: self.params[k] for k in ("phi", "gmod")}
 
     def _train_params(self):
-        return {k: self.params[k]
-                for k in ("phi", "gmod", "gy", "emz", "hy", "hz")}
+        return {k: self.params[k] for k in self.TRAIN_KEYS}
 
 
 # --------------------------------------------------------------------------

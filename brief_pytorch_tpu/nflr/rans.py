@@ -74,7 +74,8 @@ def _native_encode(symbols, cdfs, channel_idx) -> bytes:
         idx_p = channel_idx.ctypes.data_as(ctypes.c_void_p)
     written = _NATIVE.rans_encode_indexed(symbols, n, flat, off, idx_p,
                                           out, len(out))
-    assert written > 0, "native rans encode overflow"
+    if written <= 0:   # not assert: must fire under python -O
+        raise RuntimeError("native rans encode overflow")
     return out[:written].tobytes()
 
 
@@ -89,7 +90,8 @@ def _native_decode(data: bytes, n: int, cdfs, channel_idx) -> np.ndarray:
         idx_p = channel_idx.ctypes.data_as(ctypes.c_void_p)
     rc = _NATIVE.rans_decode_indexed(np.ascontiguousarray(buf), len(buf), n,
                                      flat, off, len(cdfs), idx_p, out)
-    assert rc == 0, "native rans decode failed"
+    if rc != 0:        # not assert: must fire under python -O
+        raise ValueError("native rans decode failed (truncated stream?)")
     return out.astype(np.int64)
 
 

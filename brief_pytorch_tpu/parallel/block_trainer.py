@@ -409,9 +409,14 @@ class BlockFleetTrainer:
                                pad(batch.valid), pad(batch.shapes),
                                batch.vmax, batch.ndim)
 
+        # 0.0 is the "override disabled" sentinel (loss.py `if weight_thres:`,
+        # reference main.py:380-383); encode it per block as -inf so
+        # `pred <= thres` never fires for disabled blocks even when they
+        # share a bucket with enabled ones
         thres_host = np.asarray([float(b.get("weight_thres_norm", 0.0))
                                  for b in sub], np.float32)
-        thres_arr = jnp.asarray(thres_host)
+        thres_arr = jnp.asarray(np.where(thres_host == 0.0, -np.inf,
+                                         thres_host).astype(np.float32))
         if target > B:
             thres_arr = pad(thres_arr)
 

@@ -69,8 +69,10 @@ def fused_apply_or(model, default_apply: Callable, use_pallas: bool = True
         return default_apply
     try:
         from brief_pytorch_tpu.ops import pallas_siren
+        # pltpu kernels lower only on TPU backends; a GPU backend would
+        # pass an import check but crash at trace time
         if pallas_siren.supports(model) and \
-                jax.devices()[0].platform not in ("cpu",):
+                jax.devices()[0].platform == "tpu":
             return pallas_siren.make_fused_apply(model)
     except Exception:
         pass

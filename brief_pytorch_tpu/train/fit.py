@@ -255,7 +255,7 @@ class NFGR:
         if self.opt.Compress.get("fused_train", False) and not self.half:
             from brief_pytorch_tpu.ops.pallas_train import supports_training
             if supports_training(model, loss_name) and \
-                    jax.devices()[0].platform not in ("cpu",):
+                    jax.devices()[0].platform == "tpu":
                 fused = True
 
         key = jax.random.PRNGKey(self.seed)
@@ -390,16 +390,28 @@ class NFGR:
         """
         from brief_pytorch_tpu.partition.divide import (merge_divided_data,
                                                         parse_chunk_name)
+        if isinstance(opt, str):   # parse the yaml once, not once per chunk
+            opt = cfglib.load(opt).CompressFramework
         orig_sideinfos = cfglib.load(orig_sideinfos_path)
         data_shape = list(orig_sideinfos["data_shape"])
         chunk_list = []
         for chunk_name in sorted(os.listdir(module_save_dir)):
-            extents = parse_chunk_name(chunk_name)
+            # skip stray files (editor backups etc.): chunk entries are
+            # directories named d_*-h_*-w_* / h_*-w_*
+            if not os.path.isdir(opj(module_save_dir, chunk_name)):
+                continue
+            try:
+                extents = parse_chunk_name(chunk_name)
+            except (ValueError, IndexError):
+                continue
             module_path = opj(module_save_dir, chunk_name, "module")
             sideinfos_path = opj(sideinfos_save_dir, chunk_name,
                                  "sideinfos.yaml")
             dec = NFGR.decompress(opt, module_path, sideinfos_path)
             chunk_list.append({"data": dec, "name": chunk_name, **extents})
+        if not chunk_list:
+            raise FileNotFoundError(
+                f"no chunk directories found in {module_save_dir}")
         return merge_divided_data(chunk_list, data_shape)
 
     @staticmethod

@@ -23,7 +23,11 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-REFERENCE_FIXTURE = "/root/reference/dataset/brain/64x64x64/brain-64_128-64_128-192_256.tif"
+_BUNDLED = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "dataset", "brain", "64x64x64",
+                        "brain-64_128-64_128-192_256.tif")
+REFERENCE_FIXTURE = _BUNDLED if os.path.exists(_BUNDLED) else \
+    "/root/reference/dataset/brain/64x64x64/brain-64_128-64_128-192_256.tif"
 
 
 @pytest.fixture(scope="session")
