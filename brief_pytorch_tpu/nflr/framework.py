@@ -489,16 +489,16 @@ class NFLR_AutoEncoder(_NFLR):
         return self.module["hy"].apply(self.params["hy"], cropped,
                                        int(self.opt.Compress.get("hy_bs", 0)))
 
+    def _ae_loss(self, p, cropped, coords, values):
+        y = self.module["hy"].apply(p["hy"], cropped)
+        return self._distortion(p, coords, y, values)
+
     def training_step(self, cropped, pc_shape, sideinfos, coords, values,
                       tx, opt_state):
         params = self._module_params()
-
-        def loss_f(p):
-            y = self.module["hy"].apply(p["hy"], cropped)
-            return self._distortion(p, coords, y, values)
-
-        loss, new_params, opt_state = _module_step(params, opt_state,
-                                                   loss_f, tx)
+        loss, new_params, opt_state = _module_step(
+            params, opt_state, (cropped, coords, values),
+            loss_fn=self._ae_loss, tx=tx)
         self._set_module_params(new_params)
         return loss, opt_state
 
@@ -523,8 +523,13 @@ def _autodecoder_step(params, opt_state, y0, coords, values, *, tx, dist,
     return loss, optax.apply_updates(params, upd), opt_state
 
 
-def _module_step(params, opt_state, loss_f, tx):
-    loss, grads = jax.value_and_grad(loss_f)(params)
+@partial(jax.jit, static_argnames=("loss_fn", "tx"))
+def _module_step(params, opt_state, args, *, loss_fn, tx):
+    """One jitted module-gradient step.  loss_fn must be a STABLE callable
+    (a bound method — fresh closures would be new static cache keys and
+    recompile every step, the ~20s-per-step bug class); traced data rides
+    in the `args` tuple."""
+    loss, grads = jax.value_and_grad(lambda p: loss_fn(p, *args))(params)
     upd, opt_state = tx.update(grads, opt_state, params)
     return loss, optax.apply_updates(params, upd), opt_state
 
@@ -705,18 +710,18 @@ class NFLR_Coding_AutoEncoder(_NFLR_Coding):
         return self.module["hy"].apply(self.params["hy"], cropped,
                                        int(self.opt.Compress.get("hy_bs", 0)))
 
+    def _ae_rd_loss(self, p, key, cropped, coords, values, Lambda):
+        y = self.module["hy"].apply(p["hy"], cropped)
+        return self._loss_rd_un(p, key, coords, values, y, Lambda)
+
     def training_step(self, cropped, pc_shape, sideinfos, coords, values,
                       tx, opt_state):
         params = {k: self.params[k] for k in self.MODULE_KEYS}
-        key = self._next_key()
-
-        def loss_f(p):
-            y = self.module["hy"].apply(p["hy"], cropped)
-            return self._loss_rd_un(p, key, coords, values, y,
-                                    float(self.opt.Train.Lambda))
-
-        loss, new_params, opt_state = _module_step(params, opt_state,
-                                                   loss_f, tx)
+        loss, new_params, opt_state = _module_step(
+            params, opt_state,
+            (self._next_key(), cropped, coords, values,
+             float(self.opt.Train.Lambda)),
+            loss_fn=self._ae_rd_loss, tx=tx)
         self._set_module_params(new_params)
         self.update_quantiles_once()
         return loss, opt_state
@@ -964,20 +969,20 @@ class NFLR_Coding_Hyper_AutoEncoder(_NFLR_Coding_Hyper):
 
     TRAIN_KEYS = ("phi", "gmod", "gy", "emz", "hy", "hz")
 
+    def _ae_hyper_loss(self, p, key, cropped, coords, values, Lambda):
+        y = self.module["hy"].apply(p["hy"], cropped)
+        z = self.module["hz"].apply(p["hz"], y)
+        return self._loss_rd_hyper_un(p, key, coords, values, y, z, Lambda)
+
     def training_step(self, cropped, pc_shape, sideinfos, coords, values,
                       tx, opt_state):
         keys = self.TRAIN_KEYS
         params = {k: self.params[k] for k in keys}
-        key = self._next_key()
-
-        def loss_f(p):
-            y = self.module["hy"].apply(p["hy"], cropped)
-            z = self.module["hz"].apply(p["hz"], y)
-            return self._loss_rd_hyper_un(p, key, coords, values, y, z,
-                                          float(self.opt.Train.Lambda))
-
-        loss, new_params, opt_state = _module_step(params, opt_state,
-                                                   loss_f, tx)
+        loss, new_params, opt_state = _module_step(
+            params, opt_state,
+            (self._next_key(), cropped, coords, values,
+             float(self.opt.Train.Lambda)),
+            loss_fn=self._ae_hyper_loss, tx=tx)
         for k in keys:
             self.params[k] = new_params[k]
         self.update_z_quantiles_once()

@@ -134,6 +134,13 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
             raise NotImplementedError(loss_name)
         loss_tile = jnp.sum(w_eff * l_elem)
 
+        # g currently holds dL/dpred; chain through the LAST layer's
+        # activation so dW_L/db_L are gradients w.r.t. z_L (output_act
+        # chains end in sine/sigmoid, not just 'none')
+        act_L, w0_L = acts[-1]
+        if act_L != "none":
+            g = g * _act_grad_fm(z_refs[-1][:], act_L, w0_L)
+
         @pl.when(i == 0)
         def _():
             loss_ref[0, 0] = 0.0

@@ -55,6 +55,8 @@ class StackedChainSpec:
     acts: Tuple[str, ...]          # per layer
     w0s: Tuple[float, ...]
     dims: Tuple[Tuple[int, int], ...]  # padded (in, out) per layer
+    encoder: str = "none"              # 'none' | 'sirenpos' (param-free)
+    encoder_cfg: Tuple = ()
 
     @property
     def n_layers(self) -> int:
@@ -98,7 +100,16 @@ def build_stacked(models: Sequence[_ChainModel], key,
         dims.append((in_max, out_max))
     acts = tuple(metas[0][l][2] for l in range(L))
     w0s = tuple(metas[0][l][3] for l in range(L))
-    spec = StackedChainSpec(acts=acts, w0s=w0s, dims=tuple(dims))
+    # param-free input encoder (SIRENPos): must be applied by stacked_apply
+    # too, or fleet-trained weights would be re-decoded WITH the encoder by
+    # NFGR.decompress while having been trained without it
+    enc = models[0].spec.encoder
+    enc_cfg = tuple(models[0].spec.encoder_cfg)
+    assert all(m.spec.encoder == enc and
+               tuple(m.spec.encoder_cfg) == enc_cfg for m in models), \
+        "bucket mixes encoder configs"
+    spec = StackedChainSpec(acts=acts, w0s=w0s, dims=tuple(dims),
+                            encoder=enc, encoder_cfg=enc_cfg)
 
     keys = jax.random.split(key, B)
     params_layers = []
@@ -133,6 +144,10 @@ def stacked_apply(layers_b, masks_b, coords, spec: StackedChainSpec,
     Masking after each activation zeroes padded units, which both keeps the
     active network exact and kills every gradient path into padding.
     """
+    if spec.encoder == "sirenpos":
+        # per-axis sin(2*pi/T_i * x_i), reference Networks.py:19-30
+        T = jnp.asarray(spec.encoder_cfg, coords.dtype)
+        coords = jnp.sin((2.0 * jnp.pi / T) * coords)
     h = coords
     for l in range(spec.n_layers):
         w, b = layers_b[l]["w"], layers_b[l]["b"]
@@ -363,7 +378,8 @@ class BlockFleetTrainer:
             eff_sampler = cube_size_guard(cc.sampler.name, block_voxels,
                                           cube_voxels)
             blk["sampler_name"] = eff_sampler
-            sig = (type(m).__name__, len(m.spec.entries), meta, eff_sampler)
+            sig = (type(m).__name__, len(m.spec.entries), meta, eff_sampler,
+                   m.spec.encoder, tuple(m.spec.encoder_cfg))
             buckets.setdefault(sig, []).append(i)
         self._states = [self._prepare_bucket(blocks, idxs, cc)
                         for idxs in buckets.values()]

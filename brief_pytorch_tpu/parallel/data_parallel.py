@@ -122,9 +122,26 @@ class DataParallelTrainer:
         return (jax.device_put(flat, sh), jax.device_put(wflat, sh), spatial)
 
     def fit(self, params, data_norm: np.ndarray, weight: np.ndarray,
-            compress_cfg, n_steps: int, opt_state=None):
-        """Run n_steps; returns (params, opt_state, per-step losses)."""
+            compress_cfg, n_steps: int, opt_state=None,
+            weight_thres_norm: float = None):
+        """Run n_steps; returns (params, opt_state, per-step losses).
+
+        weight_thres_norm: the weight_thres override threshold in the SAME
+        (normalized) units as data_norm — the config's raw dtype-range value
+        must be normalized by the caller exactly as fit.py does (reference
+        main.py:380-383); comparing the raw value against normalized
+        predictions would make the override always fire.  Defaults to
+        cc.loss.weight_thres only when data was not normalized.
+        """
         cc = compress_cfg
+        if weight_thres_norm is None:
+            raw = float(cc.loss.get("weight_thres", 0) or 0)
+            if raw != 0:
+                raise ValueError(
+                    "cc.loss.weight_thres is in raw dtype units but "
+                    "data_norm is normalized; normalize the threshold like "
+                    "fit.py does and pass weight_thres_norm explicitly")
+            weight_thres_norm = 0.0
         data_s, weight_s, spatial = self.shard_volume(data_norm, weight)
         tx = make_optimizer(cc.optimizer_name_phi, float(cc.lr_phi),
                             cc.lr_scheduler_phi)
@@ -139,6 +156,6 @@ class DataParallelTrainer:
             jax.random.PRNGKey(self.seed), mesh=self.mesh, model=self.model,
             spatial_shape=spatial, coords_mode=cc.coords_mode, tx=tx,
             loss_name=cc.loss.name, beta=float(cc.loss.get("beta", 0.01)),
-            weight_thres=float(cc.loss.get("weight_thres", 0) or 0),
+            weight_thres=float(weight_thres_norm),
             n_steps=n_steps, local_batch=local_batch, half=bool(cc.half))
         return params, opt_state, np.asarray(losses)

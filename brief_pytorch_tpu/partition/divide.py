@@ -37,7 +37,10 @@ def cal_feature(image: np.ndarray) -> float:
     else:
         raise NotImplementedError(image.shape)
     f = np.abs(f)
-    return int(f.max()) / int(f.sum())
+    total = int(f.sum())
+    if total == 0:   # all-zero chunk (blank background): the reference's
+        return 0.0   # int()/int() would raise ZeroDivisionError here
+    return int(f.max()) / total
 
 
 def _chunk_name(chunk: Dict) -> str:

@@ -91,22 +91,48 @@ class Queue:
     def start(self, time_interval: float = 0.0, max_task: int = 1,
               log: bool = False, remind: bool = False, debug: bool = False,
               autogpu: bool = True) -> None:
+        """max_task > 1 runs tasks concurrently in a thread pool (useful for
+        subprocess/host-bound tasks; in-process TPU work should stay at 1 —
+        a chip cannot be time-shared between concurrent traces)."""
+        import threading
         pending = list(self.task_list)
-        while pending:
-            task = pending.pop(0)
-            task.status = "running"
-            if log:
-                logging.info("running %s", task.name)
-            task.run(debug=debug)
-            if task.status == "finish":
-                self.finish_list.append(task)
-            else:
-                if self.max_retries is None or task.ets <= self.max_retries:
+        lock = threading.Lock()
+
+        def next_task():
+            with lock:
+                return pending.pop(0) if pending else None
+
+        def settle(task):
+            with lock:
+                if task.status == "finish":
+                    self.finish_list.append(task)
+                elif self.max_retries is None or task.ets <= self.max_retries:
                     logging.warning("task %s failed (attempt %d); re-queueing",
                                     task.name, task.ets)
                     pending.append(task)  # retry (reference retries forever)
                 else:
                     logging.error("task %s failed permanently", task.name)
                     self.error_list.append(task)
-            if time_interval:
-                time.sleep(time_interval)
+
+        def worker():
+            while True:
+                task = next_task()
+                if task is None:
+                    return
+                task.status = "running"
+                if log:
+                    logging.info("running %s", task.name)
+                task.run(debug=debug)
+                settle(task)
+                if time_interval:
+                    time.sleep(time_interval)
+
+        if max_task <= 1:
+            worker()
+            return
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(max_task)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()

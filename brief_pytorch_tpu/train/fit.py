@@ -262,6 +262,7 @@ class NFGR:
         step = 0
         summary = {}
         orig_data = None
+        last_loss = float("nan")   # checkpoints may start at 0 steps
         for ckpt in checkpoints:
             n = ckpt - step
             if n > 0:

@@ -24,10 +24,10 @@ class MyLogger:
         if time:
             self.project_dir += _TIMESTAMP
         temp = self.project_dir
-        for i in range(10):
-            if not os.path.exists(temp):
-                break
+        i = 0
+        while os.path.exists(temp):   # unbounded: never reuse a run dir
             temp = self.project_dir + "-" + str(i)
+            i += 1
         self.project_dir = temp
         self.logdir = self.project_dir
         self.tb = None

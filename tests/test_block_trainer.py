@@ -39,6 +39,27 @@ class TestStackedChain:
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        atol=1e-6)
 
+    def test_sirenpos_encoder_applied_in_stack(self):
+        """A SIRENPos block in the fleet must produce EXACTLY its standalone
+        apply (the param-free input encoder is part of the stacked math —
+        regression: it was once silently skipped, so fleet-trained weights
+        decoded wrongly through NFGR.decompress)."""
+        models = [init_phi({"name": "SIRENPos", "coords_channel": 2,
+                            "data_channel": 1, "features": f, "layers": 4,
+                            "w0": 20, "T": [2, 3]}) for f in (8, 12)]
+        spec, layers, masks = build_stacked(models, jax.random.PRNGKey(3))
+        assert spec.encoder == "sirenpos" and spec.encoder_cfg == (2, 3)
+        per_block = unstack_params(layers, models)
+        x = jnp.asarray(np.random.default_rng(3)
+                        .uniform(-1, 1, (17, 2)).astype(np.float32))
+        for bi, m in enumerate(models):
+            ref = m.apply(per_block[bi], x)
+            got = stacked_apply(
+                [{k: v[bi] for k, v in l.items()} for l in layers],
+                [mk[bi] for mk in masks], x, spec)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-6)
+
     def test_padded_units_receive_zero_grad(self):
         models = _models([8, 16])
         spec, layers, masks = build_stacked(models, jax.random.PRNGKey(1))

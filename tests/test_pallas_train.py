@@ -90,6 +90,10 @@ def test_fused_grads_padding_tail():
     ("SIRENFT", {"ft": 4}),
     ("SIREN_RELU", {}),
     ("SIREN_SIGMOID", {}),
+    # output_act: the chain ends in an activation, whose derivative must
+    # chain into dW_L/db_L (regression: the kernel once skipped it)
+    ("SIREN", {"output_act": True}),
+    ("SIREN_SIGMOID", {"output_act": True}),
 ])
 def test_fused_grads_other_chains(name, extra):
     model, params, coords, values, weights = _setup(name=name, **extra)

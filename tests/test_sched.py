@@ -47,3 +47,35 @@ def test_status_table_lists_all_tasks():
     q.start()
     table = q.status_table()
     assert "alpha" in table and "beta" in table and "finish" in table
+
+
+def test_max_task_runs_concurrently():
+    import time as _time
+
+    def slow():
+        _time.sleep(0.5)
+        return 1
+
+    q = Queue([Task(slow, f"t{i}") for i in range(4)])
+    t0 = _time.perf_counter()
+    q.start(max_task=4)
+    dt = _time.perf_counter() - t0
+    assert len(q.finish_list) == 4 and not q.error_list
+    assert dt < 1.5, dt   # serial would be ~2.0s
+
+
+def test_retry_works_under_concurrency():
+    attempts = {"n": 0}
+    import threading
+    lock = threading.Lock()
+
+    def flaky():
+        with lock:
+            attempts["n"] += 1
+            if attempts["n"] < 3:
+                raise RuntimeError("transient")
+        return "ok"
+
+    q = Queue([Task(flaky, "flaky"), Task("true", "ok1"), Task("true", "ok2")])
+    q.start(max_task=2)
+    assert len(q.finish_list) == 3 and not q.error_list
