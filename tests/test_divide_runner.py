@@ -99,6 +99,34 @@ def test_decompress_divide_from_archive(brain64_path, tmp_path):
     assert np.array_equal(dec, saved)
 
 
+def test_decompress_divide_sirenpos_matches(brain64_path, tmp_path):
+    """Same archive-vs-trainer bit-equality with a SIRENPos fleet: the
+    param-free input encoder must be part of the stacked training math
+    (regression: it was once skipped, so archived modules decoded to
+    garbage through NFGR.decompress_divide)."""
+    from brief_pytorch_tpu.io.image import read_img
+    from brief_pytorch_tpu.parallel.divide_runner import compress_divide
+    from brief_pytorch_tpu.train.fit import NFGR
+    opt = _opt(brain64_path, str(tmp_path))
+    opt.CompressFramework.Module.phi = cfglib.loads(
+        "{name: SIRENPos, coords_channel: 3, data_channel: 1, layers: 4, "
+        "w0: 20, T: [2, 2, 2], output_act: false, res: false}")
+    log = MyLogger(**opt.Log.to_plain())
+    res = compress_divide(opt, log)
+    step = os.path.join(log.logdir, "steps60")
+    compressed = os.path.join(step, "compressed")
+    dec = NFGR.decompress_divide(
+        opt.CompressFramework,
+        os.path.join(compressed, "sideinfos.yaml"),
+        os.path.join(compressed, "module"),
+        os.path.join(compressed, "sideinfos"))
+    saved = read_img(os.path.join(
+        step, "decompressed",
+        os.path.basename(brain64_path).replace(".tif", "_decompressed.tif")))
+    assert np.array_equal(dec, saved)
+    assert res["psnr"] > 15
+
+
 def test_exception_override_changes_block_budget(brain64_path, tmp_path):
     """A per-chunk exception (reference main.py:568-569) with a bigger
     given_size must produce a wider network for that chunk only."""
