@@ -3,33 +3,99 @@
 Runs the jitted single-volume training step on the bundled 64^3 brain
 fixture with the reference SingleTask default semantics (full-volume
 randomcube batches: 262,144 coords/step) and reports sustained training
-throughput on the available chip.
+throughput on the available chip, plus a roofline account (achieved
+matmul FLOP/s vs the chip's dense peak).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line (driver contract):
+  {"metric", "value", "unit", "vs_baseline", ...extras}
 
-vs_baseline: the reference trains ~85 steps/s on one A100 for this config
-(100k coords/step batchwise ~ 8.5e6 coords/s); we report the ratio of our
-coords/s to that figure.  (The reference repo publishes no numbers —
-BASELINE.md; this figure is a measured-order-of-magnitude anchor for the
-driver's trend line, not a vendor claim.)
+vs_baseline: an ESTIMATED anchor — the reference repo publishes no
+throughput numbers and no CUDA GPU exists in this environment, so the
+anchor is an order-of-magnitude estimate of the reference hot loop
+(~85 steps/s x 100k coords on one A100 ~ 8.5e6 coords/s, BASELINE.md /
+RESULTS.md).  The ratio is a trend line, not a measured speedup.
+
+`python bench.py --all` additionally benchmarks the narrow (f=22) and wide
+(f=256) shape classes and the block-fleet trainer, one JSON line each
+(recorded in RESULTS.md).
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
 
 import numpy as np
 
-REFERENCE_COORDS_PER_SEC = 8.5e6  # anchor (see module docstring)
+REFERENCE_COORDS_PER_SEC = 8.5e6  # ESTIMATED anchor (see module docstring)
 _HERE = os.path.dirname(os.path.abspath(__file__))
 FIXTURE = os.path.join(_HERE, "dataset", "brain", "64x64x64",
                        "brain-64_128-64_128-192_256.tif")
 if not os.path.exists(FIXTURE):
     FIXTURE = "/root/reference/dataset/brain/64x64x64/brain-64_128-64_128-192_256.tif"
 
+# Dense bf16 matmul peaks (FLOP/s).  TPU matmuls default to bf16 multiplies
+# with f32 accumulation, so the bf16 peak is the relevant ceiling for the
+# f32-params training path too.
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+    "TPU v6e": 918e12,
+}
 
-def main():
+
+def _device_peak():
+    import jax
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return kind, v
+    return kind, None
+
+
+def _chain_matmul_flops_per_coord(model) -> int:
+    """2*in*out per linear, x3 for training (fwd + dgrad + wgrad)."""
+    fwd = 0
+    for e in model.spec.entries:
+        n = 2 if e.kind == "res" else 1
+        fi, fo = e.fan_in, e.fan_out
+        fwd += 2 * fi * fo
+        if n == 2:
+            fwd += 2 * fo * fo
+    return 3 * fwd
+
+
+def _emit(metric, coords_per_sec, extras):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(coords_per_sec), 1),
+        "unit": "coords/s/chip",
+        "vs_baseline": round(float(coords_per_sec / REFERENCE_COORDS_PER_SEC), 3),
+        **extras,
+    }))
+
+
+def _time_segment(fn, n_steps):
+    """Compile with the exact timed shape, then best-of-2 fully-synced reps."""
+    out = fn(0)
+    np.asarray(out)  # full sync (block_until_ready is a no-op over the tunnel)
+    dt = float("inf")
+    for rep in range(2):
+        t0 = time.perf_counter()
+        out = fn(1 + rep)
+        np.asarray(out)
+        dt = min(dt, time.perf_counter() - t0)
+    return dt
+
+
+def bench_single(features_override=None, sampler_kind="randomcube",
+                 metric="train_coords_per_sec_per_chip", n_steps=2000,
+                 sample_size=100_000):
     import jax
     import jax.numpy as jnp
     from brief_pytorch_tpu.core.normalize import normalize_data
@@ -38,15 +104,19 @@ def main():
     from brief_pytorch_tpu.models import sizing
     from brief_pytorch_tpu.train.fit import run_segment
     from brief_pytorch_tpu.train.optim import make_optimizer
-    from brief_pytorch_tpu.train.samplers import RandomCubeSampler
+    from brief_pytorch_tpu.train.samplers import (RandomCubeSampler,
+                                                  RandomPointSampler)
 
     data = read_img(FIXTURE)
     data_norm, side = normalize_data(data, "minmaxany_0_100")
 
     phi_cfg = {"name": "SIREN", "coords_channel": 3, "data_channel": 1,
                "layers": 5, "w0": 20, "res": False, "output_act": False}
-    ideal = 524804 / 80  # file bytes / filesize_ratio (SingleTask default)
-    feats, count, theory = sizing.estimate_module_size(ideal, phi_cfg, False)
+    if features_override is None:
+        ideal = 524804 / 80  # file bytes / filesize_ratio (SingleTask default)
+        feats, count, theory = sizing.estimate_module_size(ideal, phi_cfg, False)
+    else:
+        feats = features_override
     phi_cfg["features"] = feats
     model = init_phi(phi_cfg)
     params = model.init(jax.random.PRNGKey(42))
@@ -54,42 +124,125 @@ def main():
                                          "milestones": [50000, 60000, 70000],
                                          "gamma": 0.2})
     opt_state = tx.init(params)
-    sampler = RandomCubeSampler((64, 64, 64), "-1,1", 1, (64, 64, 64))
-    dev_data = jnp.asarray(data_norm)
-    dev_weight = jnp.ones_like(dev_data)
+    if sampler_kind == "randomcube":
+        sampler = RandomCubeSampler((64, 64, 64), "-1,1", 1, (64, 64, 64))
+        dev_data = jnp.asarray(data_norm)
+        dev_weight = jnp.ones_like(dev_data)
+        coords_per_step = 64 * 64 * 64
+    else:
+        sampler = RandomPointSampler((64, 64, 64), "-1,1", sample_size)
+        dev_data = jnp.asarray(data_norm.reshape(-1, 1))
+        dev_weight = jnp.ones_like(dev_data)
+        coords_per_step = sample_size
 
     kwargs = dict(weight_thres=100.0, model=model, sampler=sampler, tx=tx,
                   loss_name="datal2", beta=0.01, half=False)
+    state = {"params": params, "opt_state": opt_state}
 
-    # warmup/compile with the SAME n_steps as the timed run: run_segment is
-    # jitted with static n_steps, so a different warmup length would leave
-    # the timed call to pay the scan's compile time (which at these model
-    # sizes dwarfs the actual training) — steady-state throughput is what
-    # the metric is defined as.
-    n_steps = 2000
-    params, opt_state, losses = run_segment(params, opt_state, dev_data,
-                                            dev_weight, jax.random.PRNGKey(0),
-                                            n_steps=n_steps, **kwargs)
-    np.asarray(losses)  # full sync
+    def run(seed):
+        state["params"], state["opt_state"], losses = run_segment(
+            state["params"], state["opt_state"], dev_data, dev_weight,
+            jax.random.PRNGKey(seed), n_steps=n_steps, **kwargs)
+        return losses
 
-    dt = float("inf")
-    for rep in range(2):
-        t0 = time.perf_counter()
-        params, opt_state, losses = run_segment(params, opt_state, dev_data,
-                                                dev_weight,
-                                                jax.random.PRNGKey(1 + rep),
-                                                n_steps=n_steps, **kwargs)
-        np.asarray(losses)  # full sync
-        dt = min(dt, time.perf_counter() - t0)
-
-    coords_per_step = 64 * 64 * 64
+    dt = _time_segment(run, n_steps)
     coords_per_sec = n_steps * coords_per_step / dt
-    print(json.dumps({
-        "metric": "train_coords_per_sec_per_chip",
-        "value": round(float(coords_per_sec), 1),
-        "unit": "coords/s/chip",
-        "vs_baseline": round(float(coords_per_sec / REFERENCE_COORDS_PER_SEC), 3),
-    }))
+
+    kind, peak = _device_peak()
+    extras = {"features": feats, "coords_per_step": coords_per_step,
+              "device_kind": kind, "anchor": "estimated"}
+    flops_per_coord = _chain_matmul_flops_per_coord(model)
+    achieved = coords_per_sec * flops_per_coord
+    extras["achieved_matmul_tflops"] = round(achieved / 1e12, 3)
+    if peak:
+        extras["mfu"] = round(achieved / peak, 4)
+        # HBM roofline for the dominant streaming term: data+weight gather
+        # (2 reads x c x 4B per coord) + per-layer activation traffic when
+        # the batch spills VMEM (~6 passes x f x 4B per coord for fwd+bwd)
+        hbm_bytes_per_coord = 2 * 4 + 6 * feats * 4
+        hbm_bw = 819e9 if "v5 lite" in kind or "v5e" in kind else None
+        if hbm_bw:
+            bound = min(peak / flops_per_coord,
+                        hbm_bw / hbm_bytes_per_coord)
+            extras["fraction_of_roofline"] = round(coords_per_sec / bound, 4)
+    _emit(metric, coords_per_sec, extras)
+
+
+def bench_fleet(n_steps=1500):
+    """8-block stacked fleet on one chip (the DivideTask hot path)."""
+    import jax
+    from brief_pytorch_tpu.core import config as cfglib
+    from brief_pytorch_tpu.core.normalize import normalize_data
+    from brief_pytorch_tpu.io.image import read_img
+    from brief_pytorch_tpu.models.phi import init_phi
+    from brief_pytorch_tpu.parallel.block_trainer import BlockFleetTrainer
+    from brief_pytorch_tpu.parallel.mesh import make_mesh
+
+    data = read_img(FIXTURE)
+    data_norm, _ = normalize_data(data, "minmaxany_0_100")
+    blocks = []
+    i = 0
+    for z in range(2):
+        for y in range(2):
+            for x in range(2):
+                blk = data_norm[z * 32:(z + 1) * 32, y * 32:(y + 1) * 32,
+                                x * 32:(x + 1) * 32]
+                blocks.append({
+                    "name": f"b{i}", "data_norm": blk,
+                    "weight": np.ones_like(blk),
+                    "model": init_phi({"name": "SIREN", "coords_channel": 3,
+                                       "data_channel": 1,
+                                       "features": 40 + 4 * (i % 3),
+                                       "layers": 5, "w0": 20, "res": False}),
+                    "sideinfos": {}, "weight_thres_norm": 0.0})
+                i += 1
+    cc = cfglib.loads("""
+sampler: {name: randompoint, cube_count: 1, cube_len: [32,32,32],
+          sample_size: 32768, gpu_force: true}
+loss: {name: datal2, beta: 0.01, weight: [none], weight_thres: 0}
+half: false
+coords_mode: "-1,1"
+optimizer_name_phi: Adamax
+lr_phi: 0.001
+lr_scheduler_phi: {name: none}
+""")
+    mesh = make_mesh(n_block_shards=len(jax.devices()))
+    trainer = BlockFleetTrainer(mesh=mesh, seed=0)
+    coords_per_step = 8 * 32768
+
+    def run(seed):
+        trainer.seed = seed
+        # reuse prepared buckets across reps: train() re-buckets, but the
+        # compiled segment is cached (same shapes)
+        trainer.train(blocks, cc, max_steps=n_steps, checkpoints=[n_steps])
+        st = trainer._states[0]
+        return np.asarray(st.params[0]["b"][:1, :1])
+
+    dt = _time_segment(run, n_steps)
+    coords_per_sec = n_steps * coords_per_step / dt
+    kind, peak = _device_peak()
+    fpc = _chain_matmul_flops_per_coord(blocks[0]["model"])
+    extras = {"blocks": 8, "coords_per_step": coords_per_step,
+              "device_kind": kind, "anchor": "estimated",
+              "achieved_matmul_tflops": round(coords_per_sec * fpc / 1e12, 3)}
+    if peak:
+        extras["mfu"] = round(coords_per_sec * fpc / peak, 4)
+    _emit("fleet_coords_per_sec_per_chip", coords_per_sec, extras)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true",
+                    help="also bench narrow/wide shapes and the fleet")
+    args = ap.parse_args()
+    # driver contract line: the SingleTask default hot loop
+    bench_single()
+    if args.all:
+        bench_single(features_override=22, sampler_kind="randompoint",
+                     metric="narrow_f22_coords_per_sec_per_chip")
+        bench_single(features_override=256, sampler_kind="randompoint",
+                     metric="wide_f256_coords_per_sec_per_chip")
+        bench_fleet()
 
 
 if __name__ == "__main__":

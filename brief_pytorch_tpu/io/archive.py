@@ -100,10 +100,31 @@ def write_7z(file_path_list: List[str], save_path: str,
         f.write(blob)
 
 
+_REAL_7Z_MAGIC = b"7z\xbc\xaf\x27\x1c"   # genuine .7z container signature
+
+
 def read_7z(file_path: str) -> Dict[str, _io.BytesIO]:
-    """arcname -> BytesIO (reference utils/io.py:282-287 contract)."""
+    """arcname -> BytesIO (reference utils/io.py:282-287 contract).
+
+    Format note: this is the B7Z1 container (version 1) documented in the
+    module docstring, NOT the real 7-Zip format — py7zr is unavailable in
+    this image.  A genuine .7z (e.g. produced by the reference's write_7z)
+    fails loudly with guidance instead of mis-parsing.
+    """
     with open(file_path, "rb") as f:
-        assert f.read(4) == _MAGIC, "not a brief-tpu 7z-style archive"
+        magic = f.read(4)
+        if magic != _MAGIC:
+            with open(file_path, "rb") as g:
+                head6 = g.read(6)
+            if head6 == _REAL_7Z_MAGIC:
+                raise ValueError(
+                    f"{file_path} is a genuine 7-Zip archive; this build "
+                    "uses the B7Z1 container (py7zr is unavailable). "
+                    "Extract it externally (`7z x` or py7zr) and re-pack "
+                    "with write_7z, or read the extracted files directly.")
+            raise ValueError(
+                f"{file_path} is not a brief-tpu B7Z1 archive "
+                f"(magic {magic!r}, expected {_MAGIC!r})")
         (hlen,) = struct.unpack("<I", f.read(4))
         header = yaml.safe_load(f.read(hlen).decode())
         blob = f.read()

@@ -52,6 +52,48 @@ def load_model(model_path: str) -> List[Dict[str, np.ndarray]]:
     return [{"w": weights[l], "b": biases[l]} for l in range(n_layers)]
 
 
+def save_phi_module(model, params, module_path: str) -> None:
+    """Serialize any φ family's parameters into a module dir.
+
+    Chain families use the raw per-layer binary interchange format above;
+    MFN families (no chain structure, reference Networks.py:648-794 — the
+    reference's own save_model, utils/ModelSave.py:32-52, cannot serialize
+    them either) use an npz container with leaves keyed `p{i}` in
+    tree_flatten order, which load_phi_module_npz restores into a
+    structurally identical pytree.
+    """
+    if model.serializable_chain:
+        save_model([{k: np.asarray(v) for k, v in l.items()}
+                    for l in params["layers"]], module_path)
+        return
+    import jax
+    if os.path.exists(module_path):
+        shutil.rmtree(module_path)
+    os.makedirs(module_path)
+    flat, _ = jax.tree_util.tree_flatten(params)
+    np.savez(os.path.join(module_path, "params.npz"),
+             **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)})
+
+
+def load_phi_module_npz(module_path: str, like_params):
+    """Load a params.npz module into the structure of `like_params`
+    (a freshly initialised pytree of the same architecture)."""
+    import jax
+    with np.load(os.path.join(module_path, "params.npz")) as z:
+        flat, treedef = jax.tree_util.tree_flatten(like_params)
+        if len(z.files) != len(flat):
+            raise ValueError(
+                f"params.npz has {len(z.files)} leaves but the "
+                f"architecture expects {len(flat)} — wrong phi config?")
+        leaves = [np.asarray(z[f"p{i}"]) for i in range(len(flat))]
+        for got, want in zip(leaves, flat):
+            if got.shape != want.shape:
+                raise ValueError(
+                    f"params.npz leaf shape {got.shape} != expected "
+                    f"{want.shape} — wrong phi config?")
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def copy_dir(old_dir: str, new_dir: str) -> None:
     """Flat file copy (reference utils/ModelSave.py:54-61)."""
     os.makedirs(new_dir, exist_ok=True)

@@ -176,7 +176,16 @@ def _encode_with_escape(sym: np.ndarray, n_syms: np.ndarray,
     esc = (sym < 0) | (sym >= n_syms)
     coded = np.where(esc, n_syms, sym)
     blob = rans.encode_per_channel(coded, cdfs, ch_idx)
-    raw = sym[esc].astype(np.int32).tobytes()
+    escaped = sym[esc]
+    # the bypass payload is stored as int32; the escape path exists for
+    # unbounded outliers, so a silent truncation would corrupt round-trips
+    if escaped.size and (escaped.max() > np.iinfo(np.int32).max or
+                         escaped.min() < np.iinfo(np.int32).min):
+        raise OverflowError(
+            "escaped symbol exceeds the int32 bypass range "
+            f"[{escaped.min()}, {escaped.max()}]; latent magnitudes this "
+            "large cannot be entropy-coded losslessly")
+    raw = escaped.astype(np.int32).tobytes()
     return struct.pack("<I", len(blob)) + blob + raw
 
 

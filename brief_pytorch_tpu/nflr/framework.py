@@ -575,7 +575,9 @@ class _NFLR_Coding(_NFLR):
         q, self._emy_opt, loss = _quantile_step(
             self.params["emy"], self._emy_opt, self._emy_tx)
         self.params["emy"] = {**self.params["emy"], "quantiles": q}
-        return float(loss)
+        # device scalar, NOT float(): a host sync here would serialize every
+        # training step against the device (callers cast when they log)
+        return loss
 
     def compressing_data(self, cropped, sampler, pc_shape, sideinfos,
                          save_path):
@@ -1049,6 +1051,14 @@ def eval_performance(data_path_list_list: List[List[str]], compressframework,
         # for metric parity with reference-generated CSVs
         orig_mb = float(np.prod([os.path.getsize(p) / 2 ** 20
                                  for p in data_path_list]))
+        if len(data_path_list) > 1:
+            import logging
+            logging.warning(
+                "eval_performance: orig_data_Mbytes is the PRODUCT of %d "
+                "per-file megabytes (reference parity, "
+                "CompressFramework.py:633) — do not trust it or "
+                "compress_ratio for multi-file batches",
+                len(data_path_list))
         comp_mb = os.path.getsize(comp_path) / 2 ** 20
         rows.append([str(data_path_list), mse, psnr,
                      float(np.mean(ssim_vals)), comp_mb, orig_mb,

@@ -21,14 +21,28 @@ TasksManager.py:222-251).  On TPU we instead:
      population bounds, so the volume heterogeneity from adaptive blocking
      never breaks SPMD.
 
+Every registered φ family trains in a DivideTask (reference children just
+call init_phi on any registry entry, main.py:277-280 / Networks.py:795-802):
+  * all CHAIN families — plain SIREN variants, res-SIREN (HalfResidual,
+    Networks.py:209-214), NeRF (skip concat + positional encoding,
+    Networks.py:84-136), FFN (Fourier features, Networks.py:138-207),
+    SIRENPos — stack into vmapped masked buckets;
+  * MFN families (MFNFourier/MFNGabor, Networks.py:648-794) have a
+    per-block parameter *structure* (multiplicative filters), so they train
+    on the SOLO path: one jitted program per block (train/fit.run_segment),
+    advanced in checkpoint lockstep with the stacked buckets.
+
 Per-block semantics preserved from the reference children (temp_main.py):
 per-block normalisation (own min/max), per-block byte budgets and the
-degradation chain, per-block loss means, per-block Adamax + MultiStepLR.
+degradation chain, per-block loss means, per-block Adamax + MultiStepLR,
+and the per-child RandomCubeSampler (main.py:38-125) — cube draws are
+reproduced exactly (same randint corner draw, same voxel order) as
+flat-index gathers so they vmap over heterogeneous block shapes.
 """
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -39,11 +53,13 @@ import optax
 
 from brief_pytorch_tpu.core.coords import index_to_coords_dynamic
 from brief_pytorch_tpu.models.phi import (ChainSpec, _ChainModel, _act,
-                                          init_linear, init_phi)
+                                          _encode, init_phi)
 from brief_pytorch_tpu.parallel.mesh import block_sharding, make_mesh, replicated
 from brief_pytorch_tpu.train.loss import make_loss
 from brief_pytorch_tpu.train.optim import make_optimizer
-from brief_pytorch_tpu.train.samplers import cube_size_guard
+from brief_pytorch_tpu.train.samplers import (RandomCubeSampler,
+                                              RandomPointSampler,
+                                              cube_size_guard)
 
 
 # --------------------------------------------------------------------------
@@ -51,128 +67,172 @@ from brief_pytorch_tpu.train.samplers import cube_size_guard
 # --------------------------------------------------------------------------
 @dataclass(frozen=True)
 class StackedChainSpec:
-    """Common (padded) architecture of a bucket of chain networks."""
-    acts: Tuple[str, ...]          # per layer
-    w0s: Tuple[float, ...]
-    dims: Tuple[Tuple[int, int], ...]  # padded (in, out) per layer
-    encoder: str = "none"              # 'none' | 'sirenpos' (param-free)
+    """Common (padded) architecture of a bucket of chain networks.
+
+    entries: per logical entry (kind, act, w0) — kind 'plain' consumes one
+    linear from `dims`, kind 'res' (HalfResidual) consumes two.
+    dims: padded (in, out) per LINEAR, in entry order.
+    """
+    entries: Tuple[Tuple[str, str, float], ...]
+    dims: Tuple[Tuple[int, int], ...]
+    skip_entry: int = -1
+    encoder: str = "none"     # 'none' | 'sirenpos' | 'nerf' | 'ffn'
     encoder_cfg: Tuple = ()
 
     @property
-    def n_layers(self) -> int:
-        return len(self.dims)
+    def n_entries(self) -> int:
+        return len(self.entries)
 
 
-def _layer_meta(spec: ChainSpec):
-    """Flatten a ChainSpec into per-linear (in, out, act, w0, init) tuples.
-    Only plain chains are supported for stacking (res/skip nets train
-    per-block)."""
-    assert spec.skip_entry == -1 and spec.encoder in ("none", "sirenpos")
+def _linear_dims(spec: ChainSpec) -> List[Tuple[int, int]]:
+    """(fan_in, fan_out) of every linear in chain order (res entries own
+    two linears, reference Networks.py:209-214, 251-257)."""
     out = []
     for e in spec.entries:
-        assert e.kind == "plain", "res chains are not stack-padded"
-        out.append((e.fan_in, e.fan_out, e.act, e.w0, e.w_init))
+        out.append((e.fan_in, e.fan_out))
+        if e.kind == "res":
+            out.append((e.fan_out, e.fan_out))
     return out
+
+
+def _stack_signature(spec: ChainSpec) -> tuple:
+    """Everything two chain specs must share to be stack-padded together
+    (only widths may differ)."""
+    return (tuple((e.kind, e.act, e.w0, e.w_init) for e in spec.entries),
+            spec.skip_entry, spec.encoder, tuple(spec.encoder_cfg),
+            # the encoder output width == first-entry fan_in must be equal
+            # across the bucket or the skip concat / encoding misaligns
+            # (it is config-level, but e.g. FFN embsize could differ)
+            spec.entries[0].fan_in)
 
 
 def build_stacked(models: Sequence[_ChainModel], key,
                   init_layers_list: Optional[Sequence] = None) -> Tuple[
-        StackedChainSpec, List[Dict], List[jnp.ndarray]]:
-    """Stack B chain models (same family/layer count, any widths) into
-    padded leading-axis params + per-layer output masks.
+        StackedChainSpec, List[Dict], List[jnp.ndarray], Dict]:
+    """Stack B chain models (same family/topology, any widths) into padded
+    leading-axis params + per-entry output masks.
 
-    init_layers_list: optional per-block warm-start layers ([{'w','b'},...]
-    from io.modelsave.load_model, reference main.py:345-354); None entries
-    get fresh init.
+    Per-block parameters are drawn with the block's own `model.init` (same
+    init distributions as single-block training); init_layers_list entries
+    ([{'w','b'},...] from io.modelsave.load_model, reference
+    main.py:345-354) warm-start individual blocks.
 
-    Returns (stacked_spec, params_layers, masks) where
+    Returns (stacked_spec, params_layers, masks, enc) where
       params_layers[l] = {'w': (B, in_max, out_max), 'b': (B, out_max)}
-      masks[l]         = (B, out_max) float32 validity mask.
+      masks[e]         = (B, out_max_of_entry) float32 validity mask
+      enc              = stacked frozen encoder params ({} unless 'ffn':
+                         {'bvals': (B, embsize, c)}).
     """
-    metas = [_layer_meta(m.spec) for m in models]
-    L = len(metas[0])
-    assert all(len(m) == L for m in metas), "layer-count mismatch in bucket"
+    sig0 = _stack_signature(models[0].spec)
+    for m in models[1:]:
+        assert _stack_signature(m.spec) == sig0, \
+            "bucket mixes incompatible chain topologies"
+    lin_dims = [_linear_dims(m.spec) for m in models]
+    nlin = len(lin_dims[0])
     B = len(models)
-    dims = []
-    for l in range(L):
-        in_max = max(m[l][0] for m in metas)
-        out_max = max(m[l][1] for m in metas)
-        dims.append((in_max, out_max))
-    acts = tuple(metas[0][l][2] for l in range(L))
-    w0s = tuple(metas[0][l][3] for l in range(L))
-    # param-free input encoder (SIRENPos): must be applied by stacked_apply
-    # too, or fleet-trained weights would be re-decoded WITH the encoder by
-    # NFGR.decompress while having been trained without it
-    enc = models[0].spec.encoder
-    enc_cfg = tuple(models[0].spec.encoder_cfg)
-    assert all(m.spec.encoder == enc and
-               tuple(m.spec.encoder_cfg) == enc_cfg for m in models), \
-        "bucket mixes encoder configs"
-    spec = StackedChainSpec(acts=acts, w0s=w0s, dims=tuple(dims),
-                            encoder=enc, encoder_cfg=enc_cfg)
+    dims = [(max(d[l][0] for d in lin_dims), max(d[l][1] for d in lin_dims))
+            for l in range(nlin)]
+    spec0 = models[0].spec
+    sspec = StackedChainSpec(
+        entries=tuple((e.kind, e.act, e.w0) for e in spec0.entries),
+        dims=tuple(dims), skip_entry=spec0.skip_entry,
+        encoder=spec0.encoder, encoder_cfg=tuple(spec0.encoder_cfg))
 
-    keys = jax.random.split(key, B)
+    per_block = []
+    for bi, m in enumerate(models):
+        p = m.init(jax.random.fold_in(key, bi))
+        warm = init_layers_list[bi] if init_layers_list is not None else None
+        if warm is not None:
+            p = {**p, "layers": [{k: jnp.asarray(v) for k, v in l.items()}
+                                 for l in warm]}
+        per_block.append(p)
+
     params_layers = []
-    masks = []
-    for l in range(L):
+    for l in range(nlin):
         in_max, out_max = dims[l]
         w = np.zeros((B, in_max, out_max), np.float32)
         b = np.zeros((B, out_max), np.float32)
-        m = np.zeros((B, out_max), np.float32)
-        for bi, meta in enumerate(metas):
-            fi, fo, _act_, _w0_, w_init = meta[l]
-            warm = (init_layers_list[bi] if init_layers_list is not None
-                    else None)
-            if warm is not None:
-                lp = warm[l]
-            else:
-                lk = jax.random.fold_in(keys[bi], l)
-                lp = init_linear(lk, fi, fo, w_init)
-            w[bi, :fi, :fo] = np.asarray(lp["w"])
-            b[bi, :fo] = np.asarray(lp["b"])
-            m[bi, :fo] = 1.0
+        for bi in range(B):
+            fi, fo = lin_dims[bi][l]
+            w[bi, :fi, :fo] = np.asarray(per_block[bi]["layers"][l]["w"])
+            b[bi, :fo] = np.asarray(per_block[bi]["layers"][l]["b"])
         params_layers.append({"w": jnp.asarray(w), "b": jnp.asarray(b)})
-        masks.append(jnp.asarray(m))
-    return spec, params_layers, masks
+
+    masks = []
+    li = 0
+    for ei, e in enumerate(spec0.entries):
+        last_lin = li + (1 if e.kind == "res" else 0)
+        out_max = dims[last_lin][1]
+        mk = np.zeros((B, out_max), np.float32)
+        for bi, m in enumerate(models):
+            mk[bi, :m.spec.entries[ei].fan_out] = 1.0
+        masks.append(jnp.asarray(mk))
+        li += 2 if e.kind == "res" else 1
+
+    enc: Dict = {}
+    if spec0.encoder == "ffn":
+        enc = {"bvals": jnp.stack(
+            [per_block[bi]["encoder"]["bvals"] for bi in range(B)])}
+    return sspec, params_layers, masks, enc
+
+
+def _mm(h, w, compute_dtype):
+    if compute_dtype is not None:
+        return jnp.dot(h.astype(compute_dtype), w.astype(compute_dtype),
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(h, w, preferred_element_type=jnp.float32)
 
 
 def stacked_apply(layers_b, masks_b, coords, spec: StackedChainSpec,
-                  compute_dtype=None):
+                  enc_b: Optional[Dict] = None, compute_dtype=None):
     """Forward for ONE block (call under vmap over the leading axis).
 
-    layers_b[l]['w']: (in_max, out_max); masks_b[l]: (out_max,).
-    Masking after each activation zeroes padded units, which both keeps the
-    active network exact and kills every gradient path into padding.
+    layers_b[l]['w']: (in_max, out_max); masks_b[e]: (out_max,).
+    Masking after each entry's activation zeroes padded units, which both
+    keeps the active network exact (adding 0.0 terms to a float sum is
+    exact) and kills every gradient path into padding.  The skip concat
+    stays aligned because the encoder output width is topology-level
+    (identical across the bucket) and valid hidden units are the leading
+    columns of the padded block.
     """
-    if spec.encoder == "sirenpos":
-        # per-axis sin(2*pi/T_i * x_i), reference Networks.py:19-30
-        T = jnp.asarray(spec.encoder_cfg, coords.dtype)
-        coords = jnp.sin((2.0 * jnp.pi / T) * coords)
-    h = coords
-    for l in range(spec.n_layers):
-        w, b = layers_b[l]["w"], layers_b[l]["b"]
-        if compute_dtype is not None:
-            z = jnp.dot(h.astype(compute_dtype), w.astype(compute_dtype),
-                        preferred_element_type=jnp.float32) + b
-        else:
-            z = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
-        h = _act(spec.acts[l], spec.w0s[l], z)
-        if l < spec.n_layers - 1:
-            h = h * masks_b[l]
+    if spec.encoder == "ffn":
+        enc_b = {"bvals": jax.lax.stop_gradient(enc_b["bvals"])}
+    x = _encode(coords, spec, enc_b, compute_dtype)
+    h = x
+    li = 0
+    n_ent = spec.n_entries
+    for ei, (kind, act, w0) in enumerate(spec.entries):
+        if ei == spec.skip_entry:
+            h = jnp.concatenate([x, h], axis=-1)
+        z = _mm(h, layers_b[li]["w"], compute_dtype) + layers_b[li]["b"]
+        if kind == "plain":
+            h = _act(act, w0, z)
+            li += 1
+        else:  # res: 0.5 * (sine(lin(sine(lin(h)))) + h)
+            t = _act("sine", w0, z) * masks_b[ei]
+            z2 = (_mm(t, layers_b[li + 1]["w"], compute_dtype)
+                  + layers_b[li + 1]["b"])
+            h = 0.5 * (_act("sine", w0, z2) + h)
+            li += 2
+        if ei < n_ent - 1:
+            h = h * masks_b[ei]
     return h
 
 
-def unstack_params(params_layers, models: Sequence[_ChainModel]):
+def unstack_params(params_layers, models: Sequence[_ChainModel],
+                   enc: Optional[Dict] = None):
     """Slice each block's true-width layers back out of the padded stack."""
     out = []
     for bi, m in enumerate(models):
-        meta = _layer_meta(m.spec)
         layers = []
-        for l, (fi, fo, *_rest) in enumerate(meta):
+        for l, (fi, fo) in enumerate(_linear_dims(m.spec)):
             layers.append({
                 "w": np.asarray(params_layers[l]["w"][bi, :fi, :fo]),
                 "b": np.asarray(params_layers[l]["b"][bi, :fo])})
-        out.append({"layers": layers})
+        p = {"layers": layers}
+        if enc and "bvals" in enc:
+            p["encoder"] = {"bvals": np.asarray(enc["bvals"][bi])}
+        out.append(p)
     return out
 
 
@@ -214,22 +274,58 @@ class BlockBatch:
 
 
 # --------------------------------------------------------------------------
+# fleet cube sampling (flat-index form of the reference RandomCubeSampler)
+# --------------------------------------------------------------------------
+def _cube_local_offsets(cube_len: Tuple[int, ...]) -> jnp.ndarray:
+    """(prod(cube_len), ndim) local voxel offsets in row-major order — the
+    exact voxel order of RandomCubeSampler's dynamic_slice + reshape."""
+    grids = np.indices(cube_len)
+    return jnp.asarray(grids.reshape(len(cube_len), -1).T, jnp.int32)
+
+
+def cube_gather_indices(key, shape_vec, cube_len: Tuple[int, ...],
+                        cube_count: int) -> jnp.ndarray:
+    """Flat voxel indices of cube_count random stride-1 cubes.
+
+    shape_vec may be traced (per-vmapped-block shapes).  The corner draw is
+    IDENTICAL to RandomCubeSampler.sample (same randint signature on the
+    same key), so for a given key this selects exactly the same cubes in
+    exactly the same order (reference main.py:38-125 semantics).
+    """
+    ndim = len(cube_len)
+    maxs = shape_vec - jnp.asarray(cube_len, shape_vec.dtype) + 1
+    corners = jax.random.randint(key, (cube_count, ndim),
+                                 jnp.zeros((ndim,), jnp.int32), maxs)
+    # row-major strides from the (possibly traced) shape
+    rev = jnp.cumprod(shape_vec[::-1])
+    strides = jnp.concatenate(
+        [rev[::-1][1:], jnp.ones((1,), shape_vec.dtype)])
+    offs = _cube_local_offsets(cube_len)                    # (cv, ndim)
+    pos = corners[:, None, :] + offs[None, :, :]            # (cc, cv, ndim)
+    return jnp.sum(pos * strides[None, None, :], axis=-1).reshape(-1)
+
+
+# --------------------------------------------------------------------------
 # vmapped training
 # --------------------------------------------------------------------------
 @partial(jax.jit,
          static_argnames=("spec", "tx", "loss_name", "beta", "use_thres",
                           "n_steps", "sample_size", "coords_mode", "half",
-                          "fullbatch"),
+                          "sampler", "cube_count", "cube_len"),
          donate_argnums=(0, 1))
-def run_block_segment(params_layers, opt_state, masks, data, weight, valid,
-                      shapes, thres, key, *, spec: StackedChainSpec, tx,
-                      loss_name: str, beta: float, use_thres: bool,
+def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
+                      valid, shapes, thres, key, *, spec: StackedChainSpec,
+                      tx, loss_name: str, beta: float, use_thres: bool,
                       n_steps: int, sample_size: int, coords_mode: str,
-                      half: bool, fullbatch: bool):
+                      half: bool, sampler: str = "randompoint",
+                      cube_count: int = 1, cube_len: Tuple[int, ...] = ()):
     """n_steps of simultaneous training for all B blocks (one scan).
 
     Each step vmaps sample+forward+backward+update over the block axis;
     blocks are independent so the sharded program has no collectives.
+    sampler: 'randompoint' | 'randomcube' (true sub-cube draws, reference
+    main.py:38-125) | 'fullbatch' (exact when the clipped cube covers the
+    whole block for every block in the bucket).
     thres: (B,) per-block normalized weight_thres — each block normalizes
     the config threshold with its OWN min/max (reference: each child runs
     main.py:380-383 on its own chunk), so it cannot be a shared scalar.
@@ -239,13 +335,18 @@ def run_block_segment(params_layers, opt_state, masks, data, weight, valid,
     compute_dtype = jnp.bfloat16 if half else None
     B = data.shape[0]
 
-    def block_loss(layers_b, masks_b, data_b, weight_b, valid_b, shape_b,
-                   thres_b, key_b):
-        if fullbatch:
+    def block_loss(layers_b, masks_b, enc_b, data_b, weight_b, valid_b,
+                   shape_b, thres_b, key_b):
+        if sampler == "fullbatch":
             idx = jnp.arange(data.shape[1])
             vals = data_b
             wts = weight_b
             sample_valid = (idx < valid_b)[:, None].astype(jnp.float32)
+        elif sampler == "randomcube":
+            idx = cube_gather_indices(key_b, shape_b, cube_len, cube_count)
+            vals = data_b[idx]
+            wts = weight_b[idx]
+            sample_valid = None
         else:
             idx = jax.random.randint(key_b, (sample_size,), 0,
                                      jnp.maximum(valid_b, 1))
@@ -253,7 +354,8 @@ def run_block_segment(params_layers, opt_state, masks, data, weight, valid,
             wts = weight_b[idx]
             sample_valid = None
         coords = index_to_coords_dynamic(idx, shape_b, coords_mode)
-        pred = stacked_apply(layers_b, masks_b, coords, spec, compute_dtype)
+        pred = stacked_apply(layers_b, masks_b, coords, spec, enc_b,
+                             compute_dtype)
         pred = pred.astype(vals.dtype)
         if sample_valid is None:
             # apply the weight_thres override here: thres_b is traced
@@ -277,8 +379,8 @@ def run_block_segment(params_layers, opt_state, masks, data, weight, valid,
         keys = jax.random.split(key, B)
 
         losses, grads = jax.vmap(
-            jax.value_and_grad(block_loss), in_axes=(0,) * 8
-        )(params_layers, masks, data, weight, valid, shapes, thres, keys)
+            jax.value_and_grad(block_loss), in_axes=(0,) * 9
+        )(params_layers, masks, enc, data, weight, valid, shapes, thres, keys)
         updates, new_opt_state = jax.vmap(tx.update)(grads, opt_state,
                                                      params_layers)
         params_layers = optax.apply_updates(params_layers, updates)
@@ -292,22 +394,23 @@ def run_block_segment(params_layers, opt_state, masks, data, weight, valid,
 
 @partial(jax.jit, static_argnames=("spec", "slab", "coords_mode", "half",
                                    "vmax"))
-def decode_blocks(params_layers, masks, shapes, *, spec: StackedChainSpec,
-                  slab: int, coords_mode: str, half: bool, vmax: int):
+def decode_blocks(params_layers, masks, enc, shapes, *,
+                  spec: StackedChainSpec, slab: int, coords_mode: str,
+                  half: bool, vmax: int):
     """Vmapped padded grid decode: (B, Vmax, c) predictions."""
     compute_dtype = jnp.bfloat16 if half else None
     n_slabs = math.ceil(vmax / slab)
 
-    def one_block(layers_b, masks_b, shape_b):
+    def one_block(layers_b, masks_b, enc_b, shape_b):
         def body(_, i):
             idx = i * slab + jnp.arange(slab)
             coords = index_to_coords_dynamic(idx, shape_b, coords_mode)
             return None, stacked_apply(layers_b, masks_b, coords, spec,
-                                       compute_dtype)
+                                       enc_b, compute_dtype)
         _, out = jax.lax.scan(body, None, jnp.arange(n_slabs))
         return out.reshape(n_slabs * slab, -1)[:vmax]
 
-    return jax.vmap(one_block)(params_layers, masks, shapes)
+    return jax.vmap(one_block)(params_layers, masks, enc, shapes)
 
 
 # --------------------------------------------------------------------------
@@ -322,6 +425,7 @@ class _BucketState:
     params: object                 # stacked layer pytree
     opt_state: object
     masks: object
+    enc: object                    # stacked frozen encoder params ({} or bvals)
     batch: BlockBatch
     data: object
     weight: object
@@ -331,18 +435,44 @@ class _BucketState:
     key: object
     thres: object                      # (B,) per-block normalized thresholds
     use_thres: bool = True
-    sampler_name: str = "randompoint"  # post cube_size_guard (per bucket)
+    sampler_name: str = "randompoint"  # effective: randompoint|randomcube|fullbatch
+    cube_len: Tuple[int, ...] = ()     # clipped, static per bucket
+
+
+@dataclass
+class _SoloState:
+    """Per-block training state for φ families whose parameter structure
+    cannot be stack-padded (MFN multiplicative filters).  One jitted
+    program per block — the TPU equivalent of one reference child process
+    (reference main.py:277-280 trains ANY registered φ per block)."""
+    block_idx: int
+    model: object
+    params: object
+    opt_state: object
+    tx: object
+    key: object
+    sampler: object
+    dev_data: object
+    dev_weight: object
+    thres: float
+    coords_per_step: int
+    sampler_name: str = "randompoint"
 
 
 class BlockFleetTrainer:
     """Trains a fleet of per-block INRs as sharded, vmapped buckets.
 
-    Buckets group blocks by (phi family, layer count, act structure); widths
-    inside a bucket are padded to the max.  Each bucket is one SPMD program
-    with its block axis sharded over the mesh.  Buckets advance in LOCKSTEP
-    between checkpoints, so a checkpoint callback always sees the whole
-    fleet at the same step — the reference's children all checkpoint at the
-    same step numbers too (main.py:585-607).
+    Buckets group blocks by (phi family, topology, effective sampler);
+    widths inside a bucket are padded to the max.  Each bucket is one SPMD
+    program with its block axis sharded over the mesh.  Non-stackable
+    blocks (MFN) train on a sequential solo path.  Buckets and solo blocks
+    advance in LOCKSTEP between checkpoints, so a checkpoint callback
+    always sees the whole fleet at the same step — the reference's children
+    all checkpoint at the same step numbers too (main.py:585-607).
+
+    Bucket segments are dispatched asynchronously (no host sync between
+    buckets), so the device queue pipelines K bucket programs back-to-back;
+    the only sync per checkpoint interval is the final loss fetch.
     """
 
     def __init__(self, mesh=None, seed: int = 42):
@@ -350,6 +480,7 @@ class BlockFleetTrainer:
             n_block_shards=len(jax.devices()))
         self.seed = seed
         self._states: List[_BucketState] = []
+        self._solo: List[_SoloState] = []
 
     def train(self, blocks: List[Dict], compress_cfg, max_steps: int,
               checkpoint_cb=None, checkpoints: Optional[List[int]] = None,
@@ -359,41 +490,57 @@ class BlockFleetTrainer:
 
         compress_cfg: the Compress config node (sampler, loss, lr, ...).
         checkpoint_cb(step, blocks, per_block_params) fires at every entry
-        of `checkpoints` with the FULL fleet (all buckets).
+        of `checkpoints` with the FULL fleet (all buckets + solo blocks).
         """
         cc = compress_cfg
         # bucket by stackable signature
         buckets: Dict[tuple, List[int]] = {}
+        solo_idxs: List[int] = []
         for i, blk in enumerate(blocks):
             m = blk["model"]
-            meta = tuple((e.act, e.w0, e.kind) for e in m.spec.entries)
             # per-block effective sampler: the reference's 80^3 cube guard
             # runs in each child process on its own block (main.py:332-334);
             # here it decides the block's bucket so big blocks never take
             # the full-batch randomcube path (HBM blowup at Vmax ~ millions)
             block_voxels = int(np.prod(blk["data_norm"].shape[:-1]))
-            cube_voxels = int(np.prod([min(int(c), s) for c, s in
-                                       zip(cc.sampler.cube_len,
-                                           blk["data_norm"].shape[:-1])]))
+            clipped = tuple(min(int(c), s) for c, s in
+                            zip(cc.sampler.cube_len,
+                                blk["data_norm"].shape[:-1]))
             eff_sampler = cube_size_guard(cc.sampler.name, block_voxels,
-                                          cube_voxels)
+                                          int(np.prod(clipped)))
             blk["sampler_name"] = eff_sampler
-            sig = (type(m).__name__, len(m.spec.entries), meta, eff_sampler,
-                   m.spec.encoder, tuple(m.spec.encoder_cfg))
+            if not isinstance(m, _ChainModel):
+                solo_idxs.append(i)
+                continue
+            sig = (type(m).__name__, _stack_signature(m.spec), eff_sampler,
+                   clipped if eff_sampler == "randomcube" else ())
             buckets.setdefault(sig, []).append(i)
         self._states = [self._prepare_bucket(blocks, idxs, cc)
                         for idxs in buckets.values()]
+        self._solo = [self._prepare_solo(blocks, i, cc) for i in solo_idxs]
 
         ckpts = checkpoints or [max_steps]
         step = 0
         for ckpt in ckpts:
             n = ckpt - step
             if n > 0:
-                last_losses = []
-                for st in self._states:
-                    last_losses.append(self._run_segment(st, cc, n))
+                # dispatch every bucket's segments WITHOUT host syncs, then
+                # fetch losses once — the device pipelines bucket programs
+                pending = [(st, self._run_segment(st, cc, n))
+                           for st in self._states]
+                solo_pending = [(ss, self._run_solo_segment(ss, cc, n))
+                                for ss in self._solo]
                 if progress_cb is not None:
-                    progress_cb(ckpt, np.concatenate(last_losses))
+                    per_block = {}
+                    for st, losses in pending:
+                        last = np.asarray(losses[-1])[:len(st.models)]
+                        for bi, lv in zip(st.block_idxs, last):
+                            per_block[bi] = lv
+                    for ss, losses in solo_pending:
+                        per_block[ss.block_idx] = float(
+                            np.asarray(losses[-1]))
+                    progress_cb(ckpt, np.asarray(
+                        [per_block[i] for i in sorted(per_block)]))
             step = ckpt
             if checkpoint_cb is not None:
                 checkpoint_cb(step, blocks, self._fleet_params(blocks))
@@ -405,10 +552,23 @@ class BlockFleetTrainer:
                         ) -> _BucketState:
         sub = [blocks[i] for i in idxs]
         models = [b["model"] for b in sub]
-        spec, params_layers, masks = build_stacked(
+        spec, params_layers, masks, enc = build_stacked(
             models, jax.random.PRNGKey(self.seed),
             [b.get("init_layers") for b in sub])
         batch = BlockBatch.build(sub)
+
+        # effective bucket sampler: the clipped cube is bucket-static; when
+        # it covers EVERY block exactly, each cube is the whole block and
+        # randomcube degenerates to the (cheaper, exact) full-batch path
+        sampler_name = sub[0].get("sampler_name", cc.sampler.name)
+        cube_len: Tuple[int, ...] = ()
+        if sampler_name == "randomcube":
+            cube_len = tuple(min(int(c), s) for c, s in
+                             zip(cc.sampler.cube_len,
+                                 sub[0]["data_norm"].shape[:-1]))
+            if all(tuple(b["data_norm"].shape[:-1]) == cube_len
+                   for b in sub):
+                sampler_name = "fullbatch"
 
         # pad the block axis to a multiple of the mesh's block shards
         # (an SPMD axis must divide evenly; padded entries clone block 0 and
@@ -416,11 +576,12 @@ class BlockFleetTrainer:
         nshards = int(self.mesh.shape["blocks"])
         B = len(sub)
         target = ((B + nshards - 1) // nshards) * nshards
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.repeat(x[:1], target - B, axis=0)], axis=0)
         if target > B:
-            pad = lambda x: jnp.concatenate(
-                [x, jnp.repeat(x[:1], target - B, axis=0)], axis=0)
             params_layers = jax.tree_util.tree_map(pad, params_layers)
             masks = [pad(m) for m in masks]
+            enc = jax.tree_util.tree_map(pad, enc)
             batch = BlockBatch(pad(batch.data), pad(batch.weight),
                                pad(batch.valid), pad(batch.shapes),
                                batch.vmax, batch.ndim)
@@ -446,6 +607,7 @@ class BlockFleetTrainer:
             params=jax.device_put(params_layers, bs),
             opt_state=jax.device_put(opt_state, bs),
             masks=jax.device_put(masks, bs),
+            enc=jax.device_put(enc, bs) if enc else {},
             batch=batch,
             data=jax.device_put(batch.data, bs),
             weight=jax.device_put(batch.weight, bs),
@@ -454,19 +616,56 @@ class BlockFleetTrainer:
             tx=tx, key=jax.random.PRNGKey(self.seed + 1),
             thres=jax.device_put(thres_arr, bs),
             use_thres=bool(np.any(thres_host != 0.0)),
-            sampler_name=sub[0].get("sampler_name", cc.sampler.name))
+            sampler_name=sampler_name, cube_len=cube_len)
 
-    def _run_segment(self, st: _BucketState, cc, n_steps: int) -> np.ndarray:
-        """Advance one bucket n_steps; returns last-step per-block losses.
+    def _prepare_solo(self, blocks: List[Dict], idx: int, cc) -> _SoloState:
+        blk = blocks[idx]
+        model = blk["model"]
+        params = model.init(jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                               idx))
+        spatial = tuple(int(s) for s in blk["data_norm"].shape[:-1])
+        c = blk["data_norm"].shape[-1]
+        mode = cc.coords_mode
+        if blk["sampler_name"] == "randomcube":
+            clipped = tuple(min(int(cl), s) for cl, s in
+                            zip(cc.sampler.cube_len, spatial))
+            sampler = RandomCubeSampler(spatial, mode,
+                                        int(cc.sampler.cube_count), clipped)
+            dev_data = jnp.asarray(blk["data_norm"])
+            dev_weight = jnp.asarray(blk["weight"])
+            cps = sampler.cube_count * int(np.prod(clipped))
+        else:
+            sampler = RandomPointSampler(spatial, mode,
+                                         int(cc.sampler.sample_size))
+            dev_data = jnp.asarray(blk["data_norm"].reshape(-1, c))
+            dev_weight = jnp.asarray(blk["weight"].reshape(-1, c))
+            cps = sampler.sample_size
+        tx = make_optimizer(cc.optimizer_name_phi, float(cc.lr_phi),
+                            cc.lr_scheduler_phi)
+        return _SoloState(
+            block_idx=idx, model=model, params=params,
+            opt_state=tx.init(params), tx=tx,
+            key=jax.random.fold_in(jax.random.PRNGKey(self.seed + 1), idx),
+            sampler=sampler, dev_data=dev_data, dev_weight=dev_weight,
+            thres=float(blk.get("weight_thres_norm", 0.0)),
+            coords_per_step=cps, sampler_name=blk["sampler_name"])
+
+    def _run_segment(self, st: _BucketState, cc, n_steps: int):
+        """Advance one bucket n_steps; returns the (DEVICE) per-step loss
+        array of the final dispatched piece — callers np.asarray() it only
+        after every bucket's segments are dispatched.
 
         Scans are dispatched in SEGMENT_CAP-sized pieces — a single
         multi-minute device dispatch risks runtime watchdogs (see
         train/fit.py), and the pieces share one compiled shape."""
         from brief_pytorch_tpu.train.fit import segment_cap
-        fullbatch = st.sampler_name == "randomcube"
         B = int(st.data.shape[0])
-        per_block = (int(st.data.shape[1]) if fullbatch
-                     else int(cc.sampler.sample_size))
+        if st.sampler_name == "fullbatch":
+            per_block = int(st.data.shape[1])
+        elif st.sampler_name == "randomcube":
+            per_block = int(cc.sampler.cube_count) * int(np.prod(st.cube_len))
+        else:
+            per_block = int(cc.sampler.sample_size)
         cap = segment_cap(B * per_block)
         remaining = n_steps
         losses = None
@@ -474,24 +673,72 @@ class BlockFleetTrainer:
             seg_n = min(remaining, cap)
             st.key, seg = jax.random.split(st.key)
             st.params, st.opt_state, losses = run_block_segment(
-                st.params, st.opt_state, st.masks, st.data, st.weight,
-                st.valid, st.shapes, st.thres, seg, spec=st.spec, tx=st.tx,
-                loss_name=cc.loss.name,
+                st.params, st.opt_state, st.masks, st.enc, st.data,
+                st.weight, st.valid, st.shapes, st.thres, seg, spec=st.spec,
+                tx=st.tx, loss_name=cc.loss.name,
                 beta=float(cc.loss.get("beta", 0.01)),
                 use_thres=st.use_thres,
                 n_steps=seg_n, sample_size=int(cc.sampler.sample_size),
                 coords_mode=cc.coords_mode, half=bool(cc.half),
-                fullbatch=fullbatch)
+                sampler=st.sampler_name,
+                cube_count=int(cc.sampler.cube_count),
+                cube_len=st.cube_len)
             remaining -= seg_n
-        return np.asarray(losses[-1])[:len(st.models)]  # drop pad blocks
+        return losses
+
+    def _run_solo_segment(self, ss: _SoloState, cc, n_steps: int):
+        """Advance one solo (non-stackable) block n_steps via the
+        single-volume jitted segment (train/fit.run_segment)."""
+        from brief_pytorch_tpu.train.fit import run_segment, segment_cap
+        cap = segment_cap(ss.coords_per_step)
+        remaining = n_steps
+        losses = None
+        while remaining > 0:
+            seg_n = min(remaining, cap)
+            ss.key, seg = jax.random.split(ss.key)
+            ss.params, ss.opt_state, losses = run_segment(
+                ss.params, ss.opt_state, ss.dev_data, ss.dev_weight, seg,
+                weight_thres=ss.thres, model=ss.model, sampler=ss.sampler,
+                tx=ss.tx, loss_name=cc.loss.name,
+                beta=float(cc.loss.get("beta", 0.01)),
+                n_steps=seg_n, half=bool(cc.half))
+            remaining -= seg_n
+        return losses
+
+    def fleet_stats(self) -> List[Dict]:
+        """Per-bucket occupancy accounting: how much compute the padding
+        (block-axis clones to fill SPMD shards + voxel padding to Vmax +
+        width padding to the bucket max) wastes.  Used by the fleet-scale
+        regression and RESULTS.md measurements."""
+        out = []
+        for st in self._states:
+            B_real = len(st.models)
+            B_padded = int(st.data.shape[0])
+            true_vox = int(np.asarray(st.valid)[:B_real].sum())
+            out.append({
+                "blocks": B_real,
+                "padded_blocks": B_padded,
+                "vmax": st.batch.vmax,
+                "sampler": st.sampler_name,
+                "families": type(st.models[0]).__name__,
+                # fraction of the (padded_blocks x vmax) voxel grid that is
+                # real data — fullbatch compute scales with the grid
+                "voxel_occupancy": true_vox / (B_padded * st.batch.vmax),
+                # fraction of block slots that are real blocks — sampled
+                # (randompoint/randomcube) compute scales with slots
+                "slot_occupancy": B_real / B_padded,
+            })
+        return out
 
     def _fleet_params(self, blocks: List[Dict]) -> List[Dict]:
         """Per-block true-width params for the whole fleet, in block order."""
         out: List[Optional[Dict]] = [None] * len(blocks)
         for st in self._states:
             for bi, p in zip(st.block_idxs,
-                             unstack_params(st.params, st.models)):
+                             unstack_params(st.params, st.models, st.enc)):
                 out[bi] = p
+        for ss in self._solo:
+            out[ss.block_idx] = jax.tree_util.tree_map(np.asarray, ss.params)
         return out
 
     def decode(self, blocks: List[Dict], cc, decompress_cfg
@@ -502,12 +749,19 @@ class BlockFleetTrainer:
         for st in self._states:
             slab = max(128, min(1 << 15, st.batch.vmax))
             slab = ((slab + 127) // 128) * 128
-            out = decode_blocks(st.params, st.masks, st.shapes, spec=st.spec,
-                                slab=slab, coords_mode=cc.coords_mode,
+            out = decode_blocks(st.params, st.masks, st.enc, st.shapes,
+                                spec=st.spec, slab=slab,
+                                coords_mode=cc.coords_mode,
                                 half=bool(cc.half), vmax=st.batch.vmax)
             out = np.asarray(out, np.float32)
             for i, bi in enumerate(st.block_idxs):
                 shape = blocks[bi]["data_norm"].shape
                 v = int(np.prod(shape[:-1]))
                 results[bi] = out[i, :v].reshape(shape)
+        for ss in self._solo:
+            from brief_pytorch_tpu.train.decode import reconstruct_flattened
+            shape = blocks[ss.block_idx]["data_norm"].shape
+            results[ss.block_idx] = reconstruct_flattened(
+                ss.model.apply, ss.params, shape, 1 << 15, cc.coords_mode,
+                bool(cc.half))
         return results

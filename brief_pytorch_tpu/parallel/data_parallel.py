@@ -97,9 +97,29 @@ def _dp_segment(params, opt_state, data_sharded, weight_sharded, key, *,
     )(params, opt_state, data_sharded, weight_sharded, key)
 
 
+def host_to_global(arr, sharding):
+    """Place a host array onto a (possibly multi-process) sharding.
+
+    Single-process: plain device_put.  Multi-process (jax.distributed):
+    every process holds the full host value (each host reads the volume
+    itself — the reference's shared-filesystem hand-off, main.py:547-575)
+    and contributes its addressable shards.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 class DataParallelTrainer:
     """Train ONE phi network with the coordinate batch sharded over the
-    mesh's 'data' axis."""
+    mesh's 'data' axis.
+
+    Config-reachable via `Compress.data_shards: N` (cli/main routes a
+    SingleTask through this trainer when N > 1); the sampler must be
+    (effectively) randompoint — the volume lives flattened and sharded.
+    """
 
     def __init__(self, mesh, model, seed: int = 42):
         assert "data" in mesh.axis_names, mesh
@@ -119,7 +139,40 @@ class DataParallelTrainer:
         wflat = _pad_to_multiple(
             np.asarray(weight, np.float32).reshape(-1, c), self.ndata)
         sh = NamedSharding(self.mesh, P("data"))
-        return (jax.device_put(flat, sh), jax.device_put(wflat, sh), spatial)
+        return (host_to_global(flat, sh), host_to_global(wflat, sh), spatial)
+
+    # ---------------------------------------------------- segment API -----
+    def prepare(self, data_norm: np.ndarray, weight: np.ndarray,
+                compress_cfg, weight_thres_norm: float, params):
+        """Shard the volume once and replicate params; returns
+        (params, opt_state) ready for run_steps (used by NFGR.compress's
+        checkpoint loop so the volume is not re-sharded per segment)."""
+        cc = compress_cfg
+        self._cc = cc
+        self._data, self._weight, self._spatial = self.shard_volume(
+            data_norm, weight)
+        self._thres = float(weight_thres_norm)
+        self._tx = make_optimizer(cc.optimizer_name_phi, float(cc.lr_phi),
+                                  cc.lr_scheduler_phi)
+        rep = NamedSharding(self.mesh, P())
+        params = jax.tree_util.tree_map(
+            lambda x: host_to_global(np.asarray(x), rep), params)
+        opt_state = jax.jit(self._tx.init,
+                            out_shardings=rep)(params)
+        self._local_batch = max(1, int(cc.sampler.sample_size) // self.ndata)
+        return params, opt_state
+
+    def run_steps(self, params, opt_state, n_steps: int, key):
+        """One jitted multi-step segment (call repeatedly between
+        checkpoints, threading params/opt_state/key)."""
+        cc = self._cc
+        return _dp_segment(
+            params, opt_state, self._data, self._weight, key,
+            mesh=self.mesh, model=self.model, spatial_shape=self._spatial,
+            coords_mode=cc.coords_mode, tx=self._tx, loss_name=cc.loss.name,
+            beta=float(cc.loss.get("beta", 0.01)), weight_thres=self._thres,
+            n_steps=n_steps, local_batch=self._local_batch,
+            half=bool(cc.half))
 
     def fit(self, params, data_norm: np.ndarray, weight: np.ndarray,
             compress_cfg, n_steps: int, opt_state=None,
@@ -142,20 +195,10 @@ class DataParallelTrainer:
                     "data_norm is normalized; normalize the threshold like "
                     "fit.py does and pass weight_thres_norm explicitly")
             weight_thres_norm = 0.0
-        data_s, weight_s, spatial = self.shard_volume(data_norm, weight)
-        tx = make_optimizer(cc.optimizer_name_phi, float(cc.lr_phi),
-                            cc.lr_scheduler_phi)
+        params, fresh_opt_state = self.prepare(data_norm, weight, cc,
+                                               weight_thres_norm, params)
         if opt_state is None:
-            opt_state = tx.init(params)
-        rep = NamedSharding(self.mesh, P())
-        params = jax.device_put(params, rep)
-        opt_state = jax.device_put(opt_state, rep)
-        local_batch = max(1, int(cc.sampler.sample_size) // self.ndata)
-        params, opt_state, losses = _dp_segment(
-            params, opt_state, data_s, weight_s,
-            jax.random.PRNGKey(self.seed), mesh=self.mesh, model=self.model,
-            spatial_shape=spatial, coords_mode=cc.coords_mode, tx=tx,
-            loss_name=cc.loss.name, beta=float(cc.loss.get("beta", 0.01)),
-            weight_thres=float(weight_thres_norm),
-            n_steps=n_steps, local_batch=local_batch, half=bool(cc.half))
+            opt_state = fresh_opt_state
+        params, opt_state, losses = self.run_steps(
+            params, opt_state, n_steps, jax.random.PRNGKey(self.seed))
         return params, opt_state, np.asarray(losses)

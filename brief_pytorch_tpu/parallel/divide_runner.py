@@ -29,7 +29,7 @@ from brief_pytorch_tpu.core import config as cfglib
 from brief_pytorch_tpu.core.normalize import invnormalize_data, normalize_data, get_type_max
 from brief_pytorch_tpu.eval.metrics import eval_performance, mip_ops
 from brief_pytorch_tpu.io.image import get_folder_size, read_img, save_img
-from brief_pytorch_tpu.io.modelsave import save_model
+from brief_pytorch_tpu.io.modelsave import save_phi_module
 from brief_pytorch_tpu.models import sizing
 from brief_pytorch_tpu.models.phi import get_param_count, init_phi
 from brief_pytorch_tpu.parallel.block_trainer import BlockFleetTrainer
@@ -201,7 +201,7 @@ def compress_divide(opt, log, args=None) -> Dict:
             cfglib.save(blk["sideinfos"], opj(csd, "sideinfos.yaml"))
             cmd = opj(module_dir, blk["name"], "module")
             os.makedirs(os.path.dirname(cmd), exist_ok=True)
-            save_model(params["layers"], cmd)
+            save_phi_module(blk["model"], params, cmd)
         actual = get_folder_size(compressed)
         theory = (get_folder_size(side_dir)
                   + sum(b["theory_module_size"] for b in blks))

@@ -42,6 +42,8 @@ class Task:
     result: object = None
     returncode: Optional[int] = None
 
+    device: object = None            # device assigned by the Queue, if any
+
     def run(self, debug: bool = False) -> None:
         try:
             if callable(self.command):
@@ -50,7 +52,17 @@ class Task:
             else:
                 kwargs = {} if debug else {
                     "stdout": subprocess.DEVNULL, "stderr": subprocess.DEVNULL}
-                proc = subprocess.run(self.command, shell=True, **kwargs)
+                cmd = self.command
+                env = None
+                if self.device is not None:
+                    # pin the child to its assigned device the way the
+                    # reference Worker appends `-g <gpu>`
+                    # (TasksManager.py:64); BRIEF_TPU_DEVICE lets non-CLI
+                    # children read the slot too
+                    import os
+                    cmd = f"{cmd} -g {self.device}"
+                    env = {**os.environ, "BRIEF_TPU_DEVICE": str(self.device)}
+                proc = subprocess.run(cmd, shell=True, env=env, **kwargs)
                 self.returncode = proc.returncode
             self.status = "finish" if self.returncode == 0 else "error"
         except Exception:
@@ -97,13 +109,28 @@ class Queue:
         import threading
         pending = list(self.task_list)
         lock = threading.Lock()
+        # round-robin device slot pool: each running task holds one device
+        # from device_list for its lifetime (the reference Worker pins each
+        # child to a GPU, TasksManager.py:64)
+        free_devices = list(self.device_list)
 
         def next_task():
+            # status/ets are written under the lock so a concurrent
+            # status_table render never sees a torn update
             with lock:
-                return pending.pop(0) if pending else None
+                if not pending:
+                    return None
+                task = pending.pop(0)
+                task.status = "running"
+                if free_devices:
+                    task.device = free_devices.pop(0)
+                return task
 
         def settle(task):
             with lock:
+                if task.device is not None:
+                    free_devices.append(task.device)
+                    task.device = None
                 if task.status == "finish":
                     self.finish_list.append(task)
                 elif self.max_retries is None or task.ets <= self.max_retries:
@@ -119,7 +146,6 @@ class Queue:
                 task = next_task()
                 if task is None:
                     return
-                task.status = "running"
                 if log:
                     logging.info("running %s", task.name)
                 task.run(debug=debug)

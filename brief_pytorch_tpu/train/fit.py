@@ -227,12 +227,6 @@ class NFGR:
         else:
             raise NotImplementedError(self.opt.Compress.sampler.name)
 
-        # optimizer + schedule (per-step, reference main.py:373-400)
-        tx = make_optimizer(self.opt.Compress.optimizer_name_phi,
-                            float(self.opt.Compress.lr_phi),
-                            self.opt.Compress.lr_scheduler_phi)
-        opt_state = tx.init(params)
-
         # normalized weight threshold (reference main.py:380-383)
         thres = self.opt.Compress.loss.weight_thres
         assert thres <= get_type_max(data_pre), \
@@ -242,6 +236,38 @@ class NFGR:
                                        min=sideinfos["min"],
                                        max=sideinfos["max"])
         thres_norm = float(thres_norm)
+
+        # optimizer + schedule (per-step, reference main.py:373-400), or the
+        # coordinate-sharded data-parallel trainer (Compress.data_shards > 1:
+        # one network, batch sharded over the mesh's 'data' axis, grads
+        # pmean'd over ICI — parallel/data_parallel.py)
+        data_shards = int(self.opt.Compress.get("data_shards", 1) or 1)
+        dp = None
+        if data_shards > 1:
+            if self.opt.Compress.sampler.name != "randompoint":
+                raise ValueError(
+                    "Compress.data_shards requires the randompoint sampler "
+                    "(the volume is flattened and sharded over 'data'); got "
+                    f"{self.opt.Compress.sampler.name}")
+            from brief_pytorch_tpu.parallel.data_parallel import \
+                DataParallelTrainer
+            from brief_pytorch_tpu.parallel.mesh import make_mesh
+            if data_shards > len(jax.devices()):
+                raise ValueError(
+                    f"Compress.data_shards={data_shards} but only "
+                    f"{len(jax.devices())} devices are visible")
+            mesh = make_mesh(n_block_shards=1, n_data_shards=data_shards,
+                             devices=jax.devices()[:data_shards])
+            dp = DataParallelTrainer(mesh, model, seed=self.seed)
+            params, opt_state = dp.prepare(data_norm, weight,
+                                           self.opt.Compress, thres_norm,
+                                           params)
+            dev_data = dev_weight = None   # dp holds its own sharded copy
+        else:
+            tx = make_optimizer(self.opt.Compress.optimizer_name_phi,
+                                float(self.opt.Compress.lr_phi),
+                                self.opt.Compress.lr_scheduler_phi)
+            opt_state = tx.init(params)
 
         max_steps = int(self.opt.Compress.max_steps)
         checkpoints = parse_checkpoints(self.opt.Compress.checkpoints, max_steps)
@@ -277,11 +303,16 @@ class NFGR:
                 while remaining > 0:
                     seg = min(remaining, cap)
                     key, seg_key = jax.random.split(key)
-                    params, opt_state, losses = run_segment(
-                        params, opt_state, dev_data, dev_weight, seg_key,
-                        weight_thres=thres_norm, model=model, sampler=sampler,
-                        tx=tx, loss_name=loss_name, beta=beta, n_steps=seg,
-                        half=self.half, fused=fused)
+                    if dp is not None:
+                        params, opt_state, losses = dp.run_steps(
+                            params, opt_state, seg, seg_key)
+                    else:
+                        params, opt_state, losses = run_segment(
+                            params, opt_state, dev_data, dev_weight, seg_key,
+                            weight_thres=thres_norm, model=model,
+                            sampler=sampler, tx=tx, loss_name=loss_name,
+                            beta=beta, n_steps=seg, half=self.half,
+                            fused=fused)
                     losses_parts.append(np.asarray(losses))
                     remaining -= seg
                 losses = np.concatenate(losses_parts)
@@ -349,14 +380,8 @@ class NFGR:
     # -------------------------------------------------------------- utils --
     @staticmethod
     def _save_module(model, params, module_path: str) -> None:
-        if model.serializable_chain:
-            save_model([{k: np.asarray(v) for k, v in l.items()}
-                        for l in params["layers"]], module_path)
-        else:  # MFN family: npz container (reference falls back to torch.save)
-            os.makedirs(module_path, exist_ok=True)
-            flat, treedef = jax.tree_util.tree_flatten(params)
-            np.savez(opj(module_path, "params.npz"),
-                     *[np.asarray(x) for x in flat])
+        from brief_pytorch_tpu.io.modelsave import save_phi_module
+        save_phi_module(model, params, module_path)
 
     def _decode(self, model, params, sideinfos) -> np.ndarray:
         # fused kernel is f32-only; half decode keeps the bf16 jnp chain.
@@ -429,9 +454,18 @@ class NFGR:
         phi_cfg["name"] = sideinfos["phi_name"]
         model = init_phi(phi_cfg)
         params = model.init(jax.random.PRNGKey(0))
-        layers = load_model(module_path)
-        params = {**params, "layers": [{k: jnp.asarray(v) for k, v in l.items()}
-                                       for l in layers]}
+        if os.path.exists(opj(module_path, "params.npz")):
+            # MFN families round-trip through the npz container
+            # (save_phi_module; the raw per-layer binary format only
+            # describes chains, reference utils/ModelSave.py:32-52)
+            from brief_pytorch_tpu.io.modelsave import load_phi_module_npz
+            params = jax.tree_util.tree_map(
+                jnp.asarray, load_phi_module_npz(module_path, params))
+        else:
+            layers = load_model(module_path)
+            params = {**params,
+                      "layers": [{k: jnp.asarray(v) for k, v in l.items()}
+                                 for l in layers]}
         half = bool(opt.Compress.half)
         apply_fn = fused_apply_or(model, model.apply, use_pallas=not half)
         dec = reconstruct_flattened(apply_fn, params, sideinfos["data_shape"],

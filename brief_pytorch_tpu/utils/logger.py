@@ -38,8 +38,16 @@ class MyLogger:
                 self.tb = SummaryWriter(self.logdir, flush_secs=30)
             except Exception:
                 self.tb = None
+        # scope the stderr redirect to this run and restore it in close():
+        # the reference reassigns sys.stderr and never restores it
+        # (Logger.py:34-36), so in MultiTask later tracebacks land in an
+        # earlier run's stderr.log — improve, don't replicate
+        self._stderr_file = None
+        self._prev_stderr = None
         if stdlog:
-            sys.stderr = open(opj(self.logdir, "stderr.log"), "w")
+            self._prev_stderr = sys.stderr
+            self._stderr_file = open(opj(self.logdir, "stderr.log"), "w")
+            sys.stderr = self._stderr_file
         self.script_dir = opj(self.project_dir, "script")
         os.makedirs(self.script_dir, exist_ok=True)
 
@@ -60,3 +68,9 @@ class MyLogger:
     def close(self) -> None:
         if self.tb is not None:
             self.tb.close()
+        if self._stderr_file is not None:
+            # restore only if nobody re-redirected after us
+            if sys.stderr is self._stderr_file:
+                sys.stderr = self._prev_stderr
+            self._stderr_file.close()
+            self._stderr_file = None

@@ -23,21 +23,64 @@ def _models(widths):
 
 
 class TestStackedChain:
-    def test_masked_apply_matches_unpadded(self):
-        """A narrow net embedded in a padded stack must produce EXACTLY the
+    @staticmethod
+    def _assert_stack_matches_standalone(models, x, key=0, atol=1e-6):
+        """Every block embedded in a padded stack must produce EXACTLY the
         same outputs as its standalone apply (padding is provably inert)."""
-        models = _models([8, 16, 12])
-        spec, layers, masks = build_stacked(models, jax.random.PRNGKey(0))
-        per_block = unstack_params(layers, models)
-        x = jnp.asarray(np.random.default_rng(0)
-                        .uniform(-1, 1, (33, 3)).astype(np.float32))
+        spec, layers, masks, enc = build_stacked(models,
+                                                 jax.random.PRNGKey(key))
+        per_block = unstack_params(layers, models, enc)
         for bi, m in enumerate(models):
             ref = m.apply(per_block[bi], x)
             got = stacked_apply(
                 [{k: v[bi] for k, v in l.items()} for l in layers],
-                [mk[bi] for mk in masks], x, spec)
+                [mk[bi] for mk in masks], x, spec,
+                {k: v[bi] for k, v in enc.items()} if enc else None)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                       atol=1e-6)
+                                       atol=atol)
+        return spec
+
+    def test_masked_apply_matches_unpadded(self):
+        models = _models([8, 16, 12])
+        x = jnp.asarray(np.random.default_rng(0)
+                        .uniform(-1, 1, (33, 3)).astype(np.float32))
+        self._assert_stack_matches_standalone(models, x)
+
+    def test_res_chain_stacks_exactly(self):
+        """res-SIREN (HalfResidual, reference Networks.py:209-214) blocks
+        stack with two linears per hidden entry."""
+        models = [init_phi({"name": "SIREN", **{**BASE, "res": True},
+                            "features": f}) for f in (8, 14)]
+        x = jnp.asarray(np.random.default_rng(5)
+                        .uniform(-1, 1, (21, 3)).astype(np.float32))
+        spec = self._assert_stack_matches_standalone(models, x, key=5)
+        assert any(k == "res" for k, _a, _w in spec.entries)
+
+    def test_nerf_skip_stacks_exactly(self):
+        """NeRF (positional encoding + mid-chain skip concat, reference
+        Networks.py:84-136) blocks of different widths stack exactly."""
+        models = [init_phi({"name": "NeRF", "coords_channel": 3,
+                            "data_channel": 1, "features": f, "layers": 5,
+                            "frequencies": 4, "skip": True})
+                  for f in (8, 14, 10)]
+        x = jnp.asarray(np.random.default_rng(6)
+                        .uniform(-1, 1, (19, 3)).astype(np.float32))
+        spec = self._assert_stack_matches_standalone(models, x, key=6,
+                                                     atol=2e-6)
+        assert spec.skip_entry == 2 and spec.encoder == "nerf"
+
+    def test_ffn_stacks_exactly(self):
+        """FFN (frozen Fourier bvals, reference Networks.py:138-207): the
+        per-block bvals ride the stack as frozen encoder params."""
+        models = [init_phi({"name": "FFN", "coords_channel": 3,
+                            "data_channel": 1, "features": f, "layers": 4,
+                            "embsize": 16, "scale": 10})
+                  for f in (8, 12)]
+        x = jnp.asarray(np.random.default_rng(7)
+                        .uniform(-1, 1, (23, 3)).astype(np.float32))
+        spec = self._assert_stack_matches_standalone(models, x, key=7,
+                                                     atol=2e-5)
+        assert spec.encoder == "ffn"
 
     def test_sirenpos_encoder_applied_in_stack(self):
         """A SIRENPos block in the fleet must produce EXACTLY its standalone
@@ -47,22 +90,15 @@ class TestStackedChain:
         models = [init_phi({"name": "SIRENPos", "coords_channel": 2,
                             "data_channel": 1, "features": f, "layers": 4,
                             "w0": 20, "T": [2, 3]}) for f in (8, 12)]
-        spec, layers, masks = build_stacked(models, jax.random.PRNGKey(3))
-        assert spec.encoder == "sirenpos" and spec.encoder_cfg == (2, 3)
-        per_block = unstack_params(layers, models)
         x = jnp.asarray(np.random.default_rng(3)
                         .uniform(-1, 1, (17, 2)).astype(np.float32))
-        for bi, m in enumerate(models):
-            ref = m.apply(per_block[bi], x)
-            got = stacked_apply(
-                [{k: v[bi] for k, v in l.items()} for l in layers],
-                [mk[bi] for mk in masks], x, spec)
-            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                       atol=1e-6)
+        spec = self._assert_stack_matches_standalone(models, x, key=3)
+        assert spec.encoder == "sirenpos" and spec.encoder_cfg == (2, 3)
 
     def test_padded_units_receive_zero_grad(self):
         models = _models([8, 16])
-        spec, layers, masks = build_stacked(models, jax.random.PRNGKey(1))
+        spec, layers, masks, _enc = build_stacked(models,
+                                                  jax.random.PRNGKey(1))
         x = jnp.asarray(np.random.default_rng(1)
                         .uniform(-1, 1, (16, 3)).astype(np.float32))
         y = jnp.ones((16, 1))
@@ -178,7 +214,9 @@ lr_scheduler_phi: {name: none}
         assert blocks[1]["sampler_name"] == "randomcube"
         assert len(trainer._states) == 2
         by_mode = {st.sampler_name: st for st in trainer._states}
-        assert set(by_mode) == {"randompoint", "randomcube"}
+        # the small block's whole-block cube degenerates to the exact
+        # full-batch path; the big block is guarded to randompoint
+        assert set(by_mode) == {"randompoint", "fullbatch"}
 
     def test_block_axis_shards_over_8_devices(self):
         """8 blocks on the 8-device CPU mesh: sharded batch axis, no error,
@@ -191,6 +229,140 @@ lr_scheduler_phi: {name: none}
         (state,) = trainer._states
         sharding = state.params[0]["w"].sharding
         assert len(sharding.device_set) == 8
+
+
+class TestFleetCubeSampling:
+    def test_cube_gather_matches_reference_sampler(self):
+        """cube_gather_indices must select EXACTLY the cubes (same corners,
+        same voxel order) that RandomCubeSampler draws for the same key —
+        the fleet's randomcube step is then gradient-identical to the
+        single-block trainer's (reference main.py:38-125 semantics)."""
+        from brief_pytorch_tpu.parallel.block_trainer import \
+            cube_gather_indices
+        from brief_pytorch_tpu.train.samplers import RandomCubeSampler
+        rng = np.random.default_rng(0)
+        shape = (7, 9, 11)
+        data = rng.uniform(0, 1, shape + (1,)).astype(np.float32)
+        weight = rng.uniform(0, 1, shape + (1,)).astype(np.float32)
+        cube_len, cube_count = (3, 4, 2), 5
+        sampler = RandomCubeSampler(shape, "-1,1", cube_count, cube_len)
+        key = jax.random.PRNGKey(123)
+        ref_coords, ref_vals, ref_wts = sampler.sample(
+            key, jnp.asarray(data), jnp.asarray(weight))
+        idx = cube_gather_indices(key, jnp.asarray(shape, jnp.int32),
+                                  cube_len, cube_count)
+        flat = data.reshape(-1, 1)
+        wflat = weight.reshape(-1, 1)
+        np.testing.assert_array_equal(flat[np.asarray(idx)],
+                                      np.asarray(ref_vals))
+        np.testing.assert_array_equal(wflat[np.asarray(idx)],
+                                      np.asarray(ref_wts))
+        from brief_pytorch_tpu.core.coords import index_to_coords_dynamic
+        got_coords = index_to_coords_dynamic(idx, jnp.asarray(shape), "-1,1")
+        np.testing.assert_allclose(np.asarray(got_coords),
+                                   np.asarray(ref_coords), atol=1e-6)
+
+    def test_fleet_subcube_sampling_trains(self):
+        """cube_len < block with cube_count > 1: true sub-cube draws under
+        vmap (NOT the full-batch degeneration) — blocks of different shapes
+        but equal clipped cubes share a bucket."""
+        cc = cfglib.loads("""
+sampler: {name: randomcube, cube_count: 3, cube_len: [4,4,4],
+          sample_size: 512, gpu_force: true}
+loss: {name: datal2, beta: 0.01, weight: [none], weight_thres: 0}
+half: false
+coords_mode: "-1,1"
+optimizer_name_phi: Adamax
+lr_phi: 0.001
+lr_scheduler_phi: {name: none}
+""")
+        blocks = []
+        for f, shp in [(8, (8, 8, 8)), (12, (6, 10, 8))]:
+            g = np.meshgrid(*[np.linspace(0, 1, s) for s in shp],
+                            indexing="ij")
+            vol = (50 + 40 * np.sin(3 * g[0]) * np.cos(2 * g[1]) * g[2]
+                   ).astype(np.float32)[..., None]
+            blocks.append({"name": f"b{f}", "data_norm": vol,
+                           "weight": np.ones_like(vol),
+                           "model": init_phi({"name": "SIREN", **BASE,
+                                              "features": f}),
+                           "sideinfos": {}, "weight_thres_norm": 0.0})
+        trainer = BlockFleetTrainer(seed=0)
+        seen = {}
+        trainer.train(blocks, cc, max_steps=400, checkpoints=[10, 400],
+                      progress_cb=lambda s, l: seen.update({s: l.copy()}))
+        assert len(trainer._states) == 1
+        st = trainer._states[0]
+        assert st.sampler_name == "randomcube" and st.cube_len == (4, 4, 4)
+        # cube losses are per-draw noisy (the single-block trainer shows the
+        # same trajectory); compare fleet means across a long interval
+        assert seen[400].mean() < seen[10].mean(), (seen[10], seen[400])
+
+    def test_whole_block_cube_degenerates_to_fullbatch(self):
+        cc = cfglib.loads("""
+sampler: {name: randomcube, cube_count: 1, cube_len: [1000,1000,1000],
+          sample_size: 512, gpu_force: true}
+loss: {name: datal2, beta: 0.01, weight: [none], weight_thres: 0}
+half: false
+coords_mode: "-1,1"
+optimizer_name_phi: Adamax
+lr_phi: 0.001
+lr_scheduler_phi: {name: none}
+""")
+        rng = np.random.default_rng(0)
+        vol = rng.uniform(0, 100, (6, 6, 6, 1)).astype(np.float32)
+        blocks = [{"name": "b", "data_norm": vol, "weight": np.ones_like(vol),
+                   "model": init_phi({"name": "SIREN", **BASE, "features": 8}),
+                   "sideinfos": {}, "weight_thres_norm": 0.0}]
+        trainer = BlockFleetTrainer(seed=0)
+        trainer.train(blocks, cc, max_steps=2, checkpoints=[2])
+        assert trainer._states[0].sampler_name == "fullbatch"
+
+
+class TestSoloFallback:
+    """MFN families have no chain structure and train per block (the
+    reference children run ANY registered φ, main.py:277-280)."""
+
+    def _cc(self):
+        return cfglib.loads("""
+sampler: {name: randompoint, cube_count: 1, cube_len: [64,64,64],
+          sample_size: 256, gpu_force: true}
+loss: {name: datal2, beta: 0.01, weight: [none], weight_thres: 0}
+half: false
+coords_mode: "-1,1"
+optimizer_name_phi: Adamax
+lr_phi: 0.001
+lr_scheduler_phi: {name: none}
+""")
+
+    def test_mixed_chain_and_mfn_fleet(self):
+        rng = np.random.default_rng(0)
+        blocks = []
+        for name, cfg in [
+                ("SIREN", {"name": "SIREN", **BASE, "features": 8}),
+                ("MFNGabor", {"name": "MFNGabor", "coords_channel": 3,
+                              "data_channel": 1, "features": 12,
+                              "layers": 4}),
+                ("MFNFourier", {"name": "MFNFourier", "coords_channel": 3,
+                                "data_channel": 1, "features": 10,
+                                "layers": 4})]:
+            vol = rng.uniform(0, 1, (6, 6, 6, 1)).astype(np.float32)
+            blocks.append({"name": name, "data_norm": vol,
+                           "weight": np.ones_like(vol),
+                           "model": init_phi(cfg), "sideinfos": {},
+                           "weight_thres_norm": 0.0})
+        trainer = BlockFleetTrainer(seed=0)
+        seen = {}
+        trainer.train(blocks, self._cc(), max_steps=120,
+                      checkpoints=[10, 120],
+                      progress_cb=lambda s, l: seen.update({s: l.copy()}))
+        assert len(trainer._states) == 1 and len(trainer._solo) == 2
+        assert all("params" in b for b in blocks)
+        assert "filters" in blocks[1]["params"]      # real MFN tree
+        # every block (stacked and solo) improves
+        assert np.all(seen[120] < seen[10]), (seen[10], seen[120])
+        decoded = trainer.decode(blocks, self._cc(), None)
+        assert all(d.shape == (6, 6, 6, 1) for d in decoded)
 
 
 class TestBlockBatch:

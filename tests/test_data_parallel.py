@@ -91,3 +91,88 @@ def test_shard_volume_padding(volume):
     vol = volume[:15, :15, :15]
     data_s, weight_s, spatial = tr.shard_volume(vol, np.ones_like(vol))
     assert data_s.shape[0] % 8 == 0 and spatial == (15, 15, 15)
+
+
+class TestConfigPath:
+    """Compress.data_shards wires SingleTask through the DP trainer
+    (VERDICT r1 missing item 4)."""
+
+    def _opt(self, data_path, outputs_dir, shards):
+        return cfglib.loads(f"""
+Reproduc: {{seed: 42, benchmark: false, deterministic: true}}
+Dataset: {{data_path: "{data_path}"}}
+Log: {{outputs_dir: "{outputs_dir}", project_name: dp, stdlog: false,
+      tensorboard: false, time: false}}
+CompressFramework:
+  Name: NFGR
+  Compress:
+    divide: {{divide_type: none, param_alloc: by_size, param_size_thres: 26,
+             exception: none}}
+    half: false
+    data_shards: {shards}
+    sampler: {{name: randompoint, cube_count: 1,
+              cube_len: [10000000,10000000,10000000], sample_size: 1024,
+              gpu_force: true}}
+    coords_mode: "-1,1"
+    preprocess:
+      denoise: {{level: 0, close: [2,2,2]}}
+      clip: [0, 65535]
+    param: {{init_net_path: none, filesize_ratio: 0, given_size: 8000}}
+    loss: {{name: datal2, beta: 0.01, weight: [none], weight_thres: 0}}
+    gpu: true
+    max_steps: 400
+    checkpoints: none
+    loss_log_freq: 20
+    lr_phi: 0.003
+    optimizer_name_phi: Adamax
+    lr_scheduler_phi: {{name: none}}
+    decompress: true
+  Decompress:
+    sample_size: 4096
+    gpu: true
+    postprocess:
+      denoise: {{level: 0, close: [2,2,2]}}
+      clip: [0, 65535]
+    keep_decompressed: false
+    mip: false
+    mse: true
+    psnr: true
+    ssim: false
+  Module:
+    phi: {{name: SIREN, coords_channel: 3, data_channel: 1, layers: 4,
+          w0: 20, output_act: false, res: false}}
+  Normalize: {{name: minmaxany_0_100}}
+""")
+
+    @pytest.fixture()
+    def vol_path(self, tmp_path):
+        from brief_pytorch_tpu.io.image import save_img
+        rng = np.random.default_rng(0)
+        z, y, x = np.meshgrid(*[np.linspace(-1, 1, 16)] * 3, indexing="ij")
+        vol = 20000 + 15000 * (np.sin(3 * z) * np.cos(2 * y) + x) / 2
+        path = str(tmp_path / "vol.tif")
+        save_img(path, np.clip(vol, 0, 65535).astype(np.uint16)[..., None])
+        return path
+
+    def test_nfgr_with_data_shards(self, vol_path, tmp_path):
+        from brief_pytorch_tpu.train.fit import NFGR
+        from brief_pytorch_tpu.utils.logger import MyLogger
+        opt = self._opt(vol_path, str(tmp_path), 4)
+        log = MyLogger(**opt.Log.to_plain())
+        cf = NFGR(opt.CompressFramework, logger=log, seed=42)
+        res = cf.compress(vol_path)
+        assert res["psnr"] > 15, res
+        # trained params live replicated across the 4-device data mesh
+        w0 = cf.params["layers"][0]["w"]
+        assert len(w0.sharding.device_set) == 4
+
+    def test_data_shards_rejects_randomcube(self, vol_path, tmp_path):
+        from brief_pytorch_tpu.train.fit import NFGR
+        from brief_pytorch_tpu.utils.logger import MyLogger
+        opt = self._opt(vol_path, str(tmp_path), 4)
+        opt.CompressFramework.Compress.sampler.name = "randomcube"
+        # 16^3 volume: the 80^3 guard keeps randomcube -> must raise
+        log = MyLogger(**opt.Log.to_plain())
+        cf = NFGR(opt.CompressFramework, logger=log, seed=42)
+        with pytest.raises(ValueError, match="data_shards"):
+            cf.compress(vol_path)

@@ -182,3 +182,66 @@ def test_warm_start_resumes_block(brain64_path, tmp_path):
     from brief_pytorch_tpu.io.modelsave import load_model
     layers = load_model(trained)
     assert layers[0]["w"].shape[0] == 3  # (in, out) layout restored
+
+
+def _archive_matches_saved(opt, log, brain64_path, steps="steps60"):
+    from brief_pytorch_tpu.io.image import read_img
+    from brief_pytorch_tpu.train.fit import NFGR
+    import os
+    step = os.path.join(log.logdir, steps)
+    compressed = os.path.join(step, "compressed")
+    dec = NFGR.decompress_divide(
+        opt.CompressFramework,
+        os.path.join(compressed, "sideinfos.yaml"),
+        os.path.join(compressed, "module"),
+        os.path.join(compressed, "sideinfos"))
+    saved = read_img(os.path.join(
+        step, "decompressed",
+        os.path.basename(brain64_path).replace(".tif", "_decompressed.tif")))
+    assert np.array_equal(dec, saved)
+
+
+def test_divide_nerf_family_end_to_end(brain64_path, tmp_path):
+    """A DivideTask whose blocks are NeRF nets (skip concat + positional
+    encoding) trains as a stacked fleet and the archive decodes bit-equal
+    to the trainer's merged output (VERDICT r1 missing item 1; reference
+    children train any registered phi, main.py:277-280)."""
+    from brief_pytorch_tpu.parallel.divide_runner import compress_divide
+    opt = _opt(brain64_path, str(tmp_path))
+    opt.CompressFramework.Module.phi = cfglib.loads(
+        "{name: NeRF, coords_channel: 3, data_channel: 1, layers: 5, "
+        "frequencies: 4, skip: true, output_act: false, res: false}")
+    log = MyLogger(**opt.Log.to_plain())
+    res = compress_divide(opt, log)
+    assert res["psnr"] > 10
+    _archive_matches_saved(opt, log, brain64_path)
+
+
+def test_divide_res_siren_end_to_end(brain64_path, tmp_path):
+    """res-SIREN (HalfResidual) blocks stack with two linears per entry."""
+    from brief_pytorch_tpu.parallel.divide_runner import compress_divide
+    opt = _opt(brain64_path, str(tmp_path))
+    opt.CompressFramework.Module.phi = cfglib.loads(
+        "{name: SIREN, coords_channel: 3, data_channel: 1, layers: 4, "
+        "w0: 20, output_act: false, res: true}")
+    log = MyLogger(**opt.Log.to_plain())
+    res = compress_divide(opt, log)
+    assert res["psnr"] > 10
+    _archive_matches_saved(opt, log, brain64_path)
+
+
+def test_divide_mfn_end_to_end(brain64_path, tmp_path):
+    """MFNGabor blocks train on the solo fallback path, archive as npz
+    modules, and NFGR.decompress_divide round-trips them bit-equal
+    (VERDICT r1 missing items 1 and 5)."""
+    from brief_pytorch_tpu.parallel.divide_runner import compress_divide
+    opt = _opt(brain64_path, str(tmp_path))
+    opt.CompressFramework.Compress.divide.divide_type = "total_1_2_2"
+    opt.CompressFramework.Compress.max_steps = 30
+    opt.CompressFramework.Module.phi = cfglib.loads(
+        "{name: MFNGabor, coords_channel: 3, data_channel: 1, layers: 4, "
+        "output_act: false, res: false}")
+    log = MyLogger(**opt.Log.to_plain())
+    res = compress_divide(opt, log)
+    assert "psnr" in res
+    _archive_matches_saved(opt, log, brain64_path, steps="steps30")

@@ -140,3 +140,22 @@ class TestModelSave:
         dst = str(tmp_path / "dst")
         copy_dir(str(src), dst)
         assert open(os.path.join(dst, "x.txt")).read() == "hello"
+
+
+class TestForeignArchive:
+    def test_real_7z_fails_with_guidance(self, tmp_path):
+        """A genuine 7-Zip file (reference write_7z output) must fail
+        LOUDLY with an actionable message, not mis-parse (the B7Z1
+        container intentionally differs; py7zr is unavailable)."""
+        from brief_pytorch_tpu.io.archive import read_7z
+        p = tmp_path / "foreign.7z"
+        p.write_bytes(b"7z\xbc\xaf\x27\x1c" + b"\x00" * 64)
+        with pytest.raises(ValueError, match="genuine 7-Zip"):
+            read_7z(str(p))
+
+    def test_garbage_magic_fails(self, tmp_path):
+        from brief_pytorch_tpu.io.archive import read_7z
+        p = tmp_path / "junk.bin"
+        p.write_bytes(b"NOPE" + b"\x00" * 16)
+        with pytest.raises(ValueError, match="B7Z1"):
+            read_7z(str(p))

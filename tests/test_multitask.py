@@ -126,3 +126,28 @@ def test_multitask_end_to_end(tmp_path, brain64_path):
         assert os.path.exists(csv), f"missing performance.csv in {p}"
         rows = open(csv).read().strip().splitlines()
         assert len(rows) >= 2 and "psnr" in rows[0]
+
+
+def test_stderr_restored_between_experiments(tmp_path):
+    """MyLogger.close() must restore sys.stderr (the reference leaks the
+    redirect forever, Logger.py:34-36 — improved, not replicated), so a
+    MultiTask's later tracebacks do not land in an earlier run's
+    stderr.log."""
+    import sys
+    from brief_pytorch_tpu.utils.logger import MyLogger
+    before = sys.stderr
+    log1 = MyLogger(project_name="a", stdlog=True, tensorboard=False,
+                    outputs_dir=str(tmp_path))
+    assert sys.stderr is not before
+    log1.close()
+    assert sys.stderr is before
+    # nested runs restore in LIFO order through close()
+    log2 = MyLogger(project_name="b", stdlog=True, tensorboard=False,
+                    outputs_dir=str(tmp_path))
+    log3 = MyLogger(project_name="c", stdlog=True, tensorboard=False,
+                    outputs_dir=str(tmp_path))
+    log3.close()
+    log2.close()
+    assert sys.stderr is before
+    # double close is harmless
+    log2.close()

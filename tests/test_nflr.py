@@ -408,3 +408,15 @@ class TestTrainEntry:
         import os
         trained = os.listdir(tmp_path / "run" / "trained_module")
         assert any(f.endswith(".pt") for f in trained)
+
+
+class TestEscapeOverflow:
+    def test_int32_bypass_range_checked(self):
+        """Escaped (bypass) symbols are stored as int32; values beyond that
+        range must raise instead of silently truncating (ADVICE r1)."""
+        from brief_pytorch_tpu.nflr.entropy import _encode_with_escape
+        cdf = rans.quantize_pmf(np.asarray([0.5, 0.3, 0.2]))
+        n_syms = np.asarray([1, 1])   # alphabet 1 + escape
+        sym = np.asarray([0, 2 ** 32], dtype=np.int64)
+        with pytest.raises(OverflowError, match="int32"):
+            _encode_with_escape(sym, n_syms, [cdf, cdf], np.asarray([0, 1]))

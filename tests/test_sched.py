@@ -79,3 +79,33 @@ def test_retry_works_under_concurrency():
     q = Queue([Task(flaky, "flaky"), Task("true", "ok1"), Task("true", "ok2")])
     q.start(max_task=2)
     assert len(q.finish_list) == 3 and not q.error_list
+
+
+def test_subprocess_tasks_pinned_to_distinct_devices(tmp_path):
+    """The Queue pins each running subprocess to a device slot from
+    device_list — appended as `-g <dev>` plus BRIEF_TPU_DEVICE, the way the
+    reference Worker appends `-g <gpu>` (TasksManager.py:64).  Two
+    concurrent tasks must see DIFFERENT devices."""
+    out = tmp_path / "devs.txt"
+    # each task records its device assignment (argv) and env, then waits
+    # briefly so both run concurrently
+    script = tmp_path / "child.py"
+    script.write_text(
+        "import sys, os, time\n"
+        "with open(sys.argv[1], 'a') as f:\n"
+        "    f.write(sys.argv[sys.argv.index('-g')+1] + ',' +\n"
+        "            os.environ.get('BRIEF_TPU_DEVICE','?') + '\\n')\n"
+        "time.sleep(0.4)\n")
+    import sys
+    tasks = [Task(f"{sys.executable} {script} {out}", f"t{i}")
+             for i in range(2)]
+    q = Queue(tasks, device_list=[0, 1])
+    q.start(max_task=2, debug=True)
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 2
+    argv_devs = sorted(l.split(",")[0] for l in lines)
+    env_devs = sorted(l.split(",")[1] for l in lines)
+    assert argv_devs == ["0", "1"], lines
+    assert env_devs == ["0", "1"], lines
+    # slots are returned to the pool after completion
+    assert all(t.device is None for t in tasks)
