@@ -732,6 +732,17 @@ class NFLR_Coding_AutoEncoder(_NFLR_Coding):
 # --------------------------------------------------------------------------
 # hyperprior family
 # --------------------------------------------------------------------------
+
+def _exp_scales(log_scales):
+    """exp with the log clipped to +-20 — 'make positive' like the reference
+    (CompressFramework.py:447) but finite under the reference's own
+    xavier-gain-10000 latent init (utils/misc.py:204-211), whose first
+    hyper forward otherwise drives exp to inf and NaNs every gradient.
+    In the trained regime the clip is a no-op: scales are floored at
+    scale_bound (0.11) below and the scale table tops out near 256."""
+    return jnp.exp(jnp.clip(log_scales, -20.0, 20.0))
+
+
 class _NFLR_Coding_Hyper(_NFLR_Coding):
     """Mean-scale hyperprior on y (reference CompressFramework.py:441-532)."""
 
@@ -761,7 +772,7 @@ class _NFLR_Coding_Hyper(_NFLR_Coding):
         z_noisy, z_lik = em.factorized_forward(params["emz"], z, kz,
                                                training=True)
         scales_hat, means_hat = self.module["gy"].apply(params["gy"], z_noisy)
-        scales_hat = jnp.exp(scales_hat)
+        scales_hat = _exp_scales(scales_hat)
         noise = jax.random.uniform(ky, y.shape, y.dtype, -0.5, 0.5)
         y_noisy = y + noise
         y_lik = em.gaussian_likelihood(y_noisy, scales_hat, means_hat,
@@ -778,7 +789,7 @@ class _NFLR_Coding_Hyper(_NFLR_Coding):
         z_lik = em._from_c1n(
             em.factorized_likelihood(params["emz"], flat), shape)
         scales_hat, means_hat = self.module["gy"].apply(params["gy"], z_tilde)
-        scales_hat = jnp.exp(scales_hat)
+        scales_hat = _exp_scales(scales_hat)
         y_tilde = sga_relax(ky, y, tau)
         y_lik = em.gaussian_likelihood(y_tilde, scales_hat, means_hat,
                                        self.scale_bound)
@@ -828,7 +839,7 @@ class _NFLR_Coding_Hyper(_NFLR_Coding):
                                          z_strings, z_np.shape[2:])
         scales, means = self.module["gy"].apply(self.params["gy"],
                                                 jnp.asarray(z_rec))
-        scales = np.exp(np.asarray(scales))
+        scales = np.asarray(_exp_scales(scales))
         g_tables = self._gaussian_tables()
         indexes = em.build_indexes(scales, g_tables.scale_table)
         y_strings = em.gaussian_compress(g_tables, y_np, indexes,
@@ -859,7 +870,7 @@ class _NFLR_Coding_Hyper(_NFLR_Coding):
                                      sideinfos["z_shape"])
         scales, means = self.module["gy"].apply(self.params["gy"],
                                                 jnp.asarray(z))
-        scales = np.exp(np.asarray(scales))
+        scales = np.asarray(_exp_scales(scales))
         g_tables = self._gaussian_tables()
         indexes = em.build_indexes(scales, g_tables.scale_table)
         y = em.gaussian_decompress(g_tables, compressed_data["y_strings"],
