@@ -42,7 +42,7 @@ flat-index gathers so they vmap over heterogeneous block shapes.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -53,8 +53,8 @@ import optax
 
 from brief_pytorch_tpu.core.coords import index_to_coords_dynamic
 from brief_pytorch_tpu.models.phi import (ChainSpec, _ChainModel, _act,
-                                          _encode, init_phi)
-from brief_pytorch_tpu.parallel.mesh import block_sharding, make_mesh, replicated
+                                          _encode)
+from brief_pytorch_tpu.parallel.mesh import block_sharding, make_mesh
 from brief_pytorch_tpu.train.loss import make_loss
 from brief_pytorch_tpu.train.optim import make_optimizer
 from brief_pytorch_tpu.train.samplers import (RandomCubeSampler,
@@ -746,13 +746,17 @@ class BlockFleetTrainer:
         """Decode every block (vmapped padded grid inference) and return
         per-block float32 arrays in their true shapes, in block order."""
         results: List[Optional[np.ndarray]] = [None] * len(blocks)
+        pending = []
         for st in self._states:
             slab = max(128, min(1 << 15, st.batch.vmax))
             slab = ((slab + 127) // 128) * 128
-            out = decode_blocks(st.params, st.masks, st.enc, st.shapes,
-                                spec=st.spec, slab=slab,
-                                coords_mode=cc.coords_mode,
-                                half=bool(cc.half), vmax=st.batch.vmax)
+            pending.append((st, decode_blocks(
+                st.params, st.masks, st.enc, st.shapes, spec=st.spec,
+                slab=slab, coords_mode=cc.coords_mode, half=bool(cc.half),
+                vmax=st.batch.vmax)))
+        # fetch only after every bucket's decode is dispatched (the device
+        # queue pipelines the K programs)
+        for st, out in pending:
             out = np.asarray(out, np.float32)
             for i, bi in enumerate(st.block_idxs):
                 shape = blocks[bi]["data_norm"].shape

@@ -38,7 +38,9 @@ class Task:
     cpucost: float = 0.0
     cost_variable: str = "none"
     status: str = "pending"
-    ets: int = 0                     # error counter
+    # error counter: written only by the single worker thread that owns the
+    # task during run(); the Queue reads it under its lock in settle()
+    ets: int = 0
     result: object = None
     returncode: Optional[int] = None
 

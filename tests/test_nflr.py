@@ -420,3 +420,29 @@ class TestEscapeOverflow:
         sym = np.asarray([0, 2 ** 32], dtype=np.int64)
         with pytest.raises(OverflowError, match="int32"):
             _encode_with_escape(sym, n_syms, [cdf, cdf], np.asarray([0, 1]))
+
+
+def test_bits_roundtrip_at_realistic_scale(tmp_path):
+    """Bits round trip at the converged-run scale (VERDICT r1 item 3): the
+    64^3 fixture's 11^3 patch grid with y_channel=24 (31,944 latents) —
+    compress to the rANS container, then decode from memory and from the
+    file and require byte-equal volumes."""
+    import os
+    from tests.conftest import REFERENCE_FIXTURE
+    from brief_pytorch_tpu.nflr.framework import init_compressframework
+    if not os.path.exists(REFERENCE_FIXTURE):
+        pytest.skip("fixture not available")
+    opt = _nflr_opt("NFLR_Coding_AutoDecoder")
+    opt.Module.gmod.y_channel = 24
+    opt.Module.crop = cfglib.loads(
+        "{ps_d: 8, ps_h: 8, ps_w: 8, ol_d: 2, ol_h: 2, ol_w: 2}")
+    opt.Compress.max_steps = 20
+    opt.Compress.sample_size = 64
+    fw = init_compressframework(opt)
+    comp_path = str(tmp_path / "big.zip")
+    compressed = fw.compress([REFERENCE_FIXTURE], comp_path)
+    assert np.prod(compressed["sideinfos"]["y_shape"]) == 11 ** 3
+    dec_mem = fw.decompress(compressed_data=compressed)
+    dec_file = fw.decompress(compressed_data_path=comp_path)
+    assert dec_mem.shape == (1, 1, 64, 64, 64)
+    np.testing.assert_array_equal(dec_mem, dec_file)
