@@ -47,8 +47,12 @@ def _round_up(x: int, m: int) -> int:
 
 def chain_layer_specs(spec) -> LayerSpec:
     """Extract the per-linear (act, w0) tuple from a models.phi ChainSpec;
-    raises for structures the kernel does not support."""
-    if spec.skip_entry != -1 or spec.encoder != "none":
+    raises for structures the kernel does not support.
+
+    'sirenpos' is allowed: its encoder is a param-free elementwise warp
+    (sin(2*pi/T_i * x_i), reference Networks.py:19-30) applied to the
+    coordinates BEFORE the kernel — the chain itself stays plain."""
+    if spec.skip_entry != -1 or spec.encoder not in ("none", "sirenpos"):
         raise ValueError("fused kernel supports plain chains only")
     out = []
     for e in spec.entries:
@@ -188,8 +192,23 @@ def make_fused_apply(model, interpret: bool = False, tile: int = 512):
     """An apply(params, coords, compute_dtype=None) drop-in using the fused
     kernel (compute_dtype ignored: kernel is f32-in/f32-acc)."""
     acts = chain_layer_specs(model.spec)
+    pre = make_pre_encode(model.spec)
 
     def apply(params, coords, compute_dtype=None):
-        return fused_chain_apply(params["layers"], coords, acts, tile,
+        return fused_chain_apply(params["layers"], pre(coords), acts, tile,
                                  interpret)
     return apply
+
+
+def make_pre_encode(spec):
+    """Coordinate pre-transform applied outside the kernel (identity for
+    plain chains; the param-free SIRENPos warp otherwise)."""
+    if spec.encoder == "sirenpos":
+        import numpy as np
+        T = tuple(spec.encoder_cfg)
+
+        def pre(coords):
+            t = jnp.asarray(T, coords.dtype)
+            return jnp.sin((2.0 * np.pi / t) * coords)
+        return pre
+    return lambda coords: coords

@@ -86,15 +86,18 @@ def run_segment(params, opt_state, data, weight, key, *,
     loss_fn = make_loss(loss_name, beta)
     compute_dtype = jnp.bfloat16 if half else None
     if fused:
-        from brief_pytorch_tpu.ops.pallas_siren import chain_layer_specs
+        from brief_pytorch_tpu.ops.pallas_siren import (chain_layer_specs,
+                                                        make_pre_encode)
         from brief_pytorch_tpu.ops.pallas_train import fused_train_grads
         acts = chain_layer_specs(model.spec)
+        pre_encode = make_pre_encode(model.spec)
 
     def step_fn(carry, key):
         params, opt_state = carry
 
         if fused:
             coords, vals, wts = sampler.sample(key, data, weight)
+            coords = pre_encode(coords)
             loss, grads = fused_train_grads(
                 params["layers"], coords.T, vals.T, wts.T, acts,
                 loss_name=loss_name, beta=beta,

@@ -81,3 +81,19 @@ class TestFusedChain:
         # on the CPU test platform the fallback must be returned
         sentinel = lambda *a, **k: None
         assert fused_apply_or(model, sentinel) is sentinel
+
+
+def test_fused_apply_sirenpos_matches_model():
+    """make_fused_apply handles SIRENPos via the outside-kernel warp."""
+    from brief_pytorch_tpu.models.phi import init_phi
+    from brief_pytorch_tpu.ops import pallas_siren as ps
+    model = init_phi({"name": "SIRENPos", "coords_channel": 3,
+                      "data_channel": 1, "features": 16, "layers": 4,
+                      "w0": 20, "T": [2.0, 3.0, 2.0]})
+    params = model.init(jax.random.PRNGKey(0))
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (300, 3),
+                                minval=-1.0, maxval=1.0)
+    ref = model.apply(params, coords)
+    fused = ps.make_fused_apply(model, interpret=True, tile=256)
+    got = fused(params, coords)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

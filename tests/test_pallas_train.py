@@ -147,3 +147,24 @@ def test_run_segment_fused_matches_xla_path():
     for a, b in zip(p1["layers"], p2["layers"]):
         np.testing.assert_allclose(np.asarray(a["w"]), np.asarray(b["w"]),
                                    atol=1e-5)
+
+
+def test_fused_grads_sirenpos_pre_encode_match_xla():
+    """SIRENPos runs the fused kernel after its param-free coordinate warp
+    (applied outside the kernel); gradients must match the XLA path."""
+    model, params, coords, values, weights = _setup("SIRENPos",
+                                                    T=[2.0, 3.0, 2.0])
+    acts = ps.chain_layer_specs(model.spec)
+    assert pt.supports_training(model, "datal2")
+    ref_loss, ref_grads = _xla_loss_and_grads(
+        model, params, coords, values, weights, "datal2", 0.01, None)
+    pre = ps.make_pre_encode(model.spec)
+    loss, grads = pt.fused_train_grads(
+        params["layers"], pre(coords).T, values.T, weights.T, acts,
+        loss_name="datal2", beta=0.01, tile=256, interpret=True)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for l, (g, rg) in enumerate(zip(grads["layers"], ref_grads["layers"])):
+        np.testing.assert_allclose(np.asarray(g["w"]), np.asarray(rg["w"]),
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g["b"]), np.asarray(rg["b"]),
+                                   atol=1e-5, rtol=1e-4)
