@@ -87,6 +87,11 @@ class Queue:
     def __init__(self, task_list: List[Task], device_list: Optional[List] = None,
                  max_retries: Optional[int] = 3):
         self.task_list = list(task_list)
+        # device pinning (-g <dev> appended to subprocess commands, like the
+        # reference Worker, TasksManager.py:64) only happens when a device
+        # list is explicitly provided — generic shell commands must not grow
+        # an unexpected flag
+        self.pin_devices = device_list is not None
         self.device_list = device_list or [0]
         self.max_retries = max_retries
         self.finish_list: List[Task] = []
@@ -114,7 +119,7 @@ class Queue:
         # round-robin device slot pool: each running task holds one device
         # from device_list for its lifetime (the reference Worker pins each
         # child to a GPU, TasksManager.py:64)
-        free_devices = list(self.device_list)
+        free_devices = list(self.device_list) if self.pin_devices else []
 
         def next_task():
             # status/ets are written under the lock so a concurrent
