@@ -90,6 +90,60 @@ def index_to_coords_dynamic(flat_idx: jnp.ndarray, shape_vec: jnp.ndarray,
     return jnp.stack(comps, axis=-1)
 
 
+def row_major_strides(shape_vec: jnp.ndarray) -> jnp.ndarray:
+    """Row-major voxel strides from a (possibly traced) shape vector:
+    multiplies only — safe inside hot loops (TPUs have no integer-divide
+    hardware; `//`/`%` by a traced value lowers to a slow expansion)."""
+    rev = jnp.cumprod(shape_vec[::-1])
+    return jnp.concatenate([rev[::-1][1:],
+                            jnp.ones((1,), shape_vec.dtype)])
+
+
+def axes_to_coords(axes_idx: jnp.ndarray, shape_vec: jnp.ndarray,
+                   mode: str = "n11", dtype=jnp.float32) -> jnp.ndarray:
+    """Per-axis integer indices (..., ndim) -> coordinates, with the same
+    linspace semantics as index_to_coords_dynamic (axes of size 1 -> lo).
+    Pure multiplies: the fast path for traced per-block shapes."""
+    lo, hi = parse_coords_mode(mode)
+    n = shape_vec.astype(dtype)
+    step = jnp.where(shape_vec > 1,
+                     (hi - lo) / jnp.maximum(n - 1.0, 1.0),
+                     0.0).astype(dtype)
+    return lo + axes_idx.astype(dtype) * step
+
+
+def floordiv24(a: jnp.ndarray, b) -> jnp.ndarray:
+    """a // b via float32 reciprocal multiply + correction.
+
+    Exact for 0 <= a < 2**24 and b >= 1 (float32 holds such ints exactly;
+    the two correction steps absorb reciprocal rounding).  Used to avoid
+    TPU integer division by traced values in bounded-index paths (the
+    80^3 cube guard bounds full-batch blocks well under 2**24)."""
+    af = a.astype(jnp.float32)
+    bf = jnp.asarray(b).astype(jnp.float32)
+    q = jnp.floor(af * (1.0 / bf)).astype(a.dtype)
+    r = a - q * b
+    q = jnp.where(r < 0, q - 1, q)
+    r = a - q * b
+    q = jnp.where(r >= b, q + 1, q)
+    return q
+
+
+def flat_to_axes24(flat_idx: jnp.ndarray, shape_vec: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """Flat row-major indices -> per-axis indices (..., ndim) using
+    floordiv24 (exact for flat_idx < 2**24)."""
+    ndim = shape_vec.shape[0]
+    rem = flat_idx
+    axes = []
+    for axis in range(ndim - 1, -1, -1):
+        n = shape_vec[axis]
+        q = floordiv24(rem, n)
+        axes.append(rem - q * n)
+        rem = q
+    return jnp.stack(axes[::-1], axis=-1)
+
+
 def create_coords(shape: Sequence[int], mode: str = "n11", dtype=jnp.float32) -> jnp.ndarray:
     """Dense coordinate grid of shape (*shape, len(shape)).
 

@@ -51,7 +51,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from brief_pytorch_tpu.core.coords import index_to_coords_dynamic
+from brief_pytorch_tpu.core.coords import (axes_to_coords, flat_to_axes24,
+                                           index_to_coords_dynamic,
+                                           row_major_strides)
 from brief_pytorch_tpu.models.phi import (ChainSpec, _ChainModel, _act,
                                           _encode)
 from brief_pytorch_tpu.parallel.mesh import block_sharding, make_mesh
@@ -283,25 +285,32 @@ def _cube_local_offsets(cube_len: Tuple[int, ...]) -> jnp.ndarray:
     return jnp.asarray(grids.reshape(len(cube_len), -1).T, jnp.int32)
 
 
-def cube_gather_indices(key, shape_vec, cube_len: Tuple[int, ...],
-                        cube_count: int) -> jnp.ndarray:
-    """Flat voxel indices of cube_count random stride-1 cubes.
+def cube_positions(key, shape_vec, cube_len: Tuple[int, ...],
+                   cube_count: int) -> jnp.ndarray:
+    """Per-axis voxel positions (cube_count, prod(cube_len), ndim) of
+    cube_count random stride-1 cubes.
 
     shape_vec may be traced (per-vmapped-block shapes).  The corner draw is
     IDENTICAL to RandomCubeSampler.sample (same randint signature on the
     same key), so for a given key this selects exactly the same cubes in
-    exactly the same order (reference main.py:38-125 semantics).
+    exactly the same order (reference main.py:38-125 semantics).  Only
+    adds/multiplies follow the draw — no integer division by traced values
+    (TPUs lower those to slow expansions).
     """
     ndim = len(cube_len)
     maxs = shape_vec - jnp.asarray(cube_len, shape_vec.dtype) + 1
     corners = jax.random.randint(key, (cube_count, ndim),
                                  jnp.zeros((ndim,), jnp.int32), maxs)
-    # row-major strides from the (possibly traced) shape
-    rev = jnp.cumprod(shape_vec[::-1])
-    strides = jnp.concatenate(
-        [rev[::-1][1:], jnp.ones((1,), shape_vec.dtype)])
     offs = _cube_local_offsets(cube_len)                    # (cv, ndim)
-    pos = corners[:, None, :] + offs[None, :, :]            # (cc, cv, ndim)
+    return corners[:, None, :] + offs[None, :, :]           # (cc, cv, ndim)
+
+
+def cube_gather_indices(key, shape_vec, cube_len: Tuple[int, ...],
+                        cube_count: int) -> jnp.ndarray:
+    """Flat voxel indices of cube_count random stride-1 cubes (row-major
+    flattening of cube_positions)."""
+    pos = cube_positions(key, shape_vec, cube_len, cube_count)
+    strides = row_major_strides(shape_vec)
     return jnp.sum(pos * strides[None, None, :], axis=-1).reshape(-1)
 
 
@@ -335,25 +344,40 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
     compute_dtype = jnp.bfloat16 if half else None
     B = data.shape[0]
 
+    # NOTE on index math: block shapes are traced (vmapped), and TPU has no
+    # integer-divide hardware — `//`/`%` by a traced value lowers to a slow
+    # expansion (measured 45 ms/step vs ~1 ms).  Every per-voxel path below
+    # therefore works in per-axis indices with multiplies only.
     def block_loss(layers_b, masks_b, enc_b, data_b, weight_b, valid_b,
                    shape_b, thres_b, key_b):
+        ndim = shapes.shape[1]
         if sampler == "fullbatch":
             idx = jnp.arange(data.shape[1])
             vals = data_b
             wts = weight_b
             sample_valid = (idx < valid_b)[:, None].astype(jnp.float32)
+            # exact: the cube guard bounds full-batch blocks <= 80^3 < 2^24
+            axes = flat_to_axes24(idx, shape_b)
         elif sampler == "randomcube":
-            idx = cube_gather_indices(key_b, shape_b, cube_len, cube_count)
+            pos = cube_positions(key_b, shape_b, cube_len, cube_count)
+            strides = row_major_strides(shape_b)
+            idx = jnp.sum(pos * strides, axis=-1).reshape(-1)
             vals = data_b[idx]
             wts = weight_b[idx]
             sample_valid = None
+            axes = pos.reshape(-1, ndim)
         else:
-            idx = jax.random.randint(key_b, (sample_size,), 0,
-                                     jnp.maximum(valid_b, 1))
+            # per-axis uniform draws == uniform flat draw over the block
+            # (product of independent uniforms), multiplies only
+            u = jax.random.uniform(key_b, (sample_size, ndim))
+            axes = jnp.minimum((u * shape_b.astype(u.dtype)).astype(jnp.int32),
+                               shape_b - 1)
+            strides = row_major_strides(shape_b)
+            idx = jnp.sum(axes * strides, axis=-1)
             vals = data_b[idx]
             wts = weight_b[idx]
             sample_valid = None
-        coords = index_to_coords_dynamic(idx, shape_b, coords_mode)
+        coords = axes_to_coords(axes, shape_b, coords_mode)
         pred = stacked_apply(layers_b, masks_b, coords, spec, enc_b,
                              compute_dtype)
         pred = pred.astype(vals.dtype)
@@ -404,7 +428,12 @@ def decode_blocks(params_layers, masks, enc, shapes, *,
     def one_block(layers_b, masks_b, enc_b, shape_b):
         def body(_, i):
             idx = i * slab + jnp.arange(slab)
-            coords = index_to_coords_dynamic(idx, shape_b, coords_mode)
+            if vmax <= (1 << 24):
+                # multiply-only index decomposition (see block_loss NOTE)
+                coords = axes_to_coords(flat_to_axes24(idx, shape_b),
+                                        shape_b, coords_mode)
+            else:
+                coords = index_to_coords_dynamic(idx, shape_b, coords_mode)
             return None, stacked_apply(layers_b, masks_b, coords, spec,
                                        enc_b, compute_dtype)
         _, out = jax.lax.scan(body, None, jnp.arange(n_slabs))

@@ -103,3 +103,40 @@ class TestConfig:
         p = str(tmp_path / "c.yaml")
         cfglib.save(cfg, p)
         assert cfglib.load(p).m.n == 3
+
+
+class TestFastIndexMath:
+    """Multiply-only index helpers used by the fleet's hot loops (TPU has
+    no integer-divide hardware; traced-divisor div/mod is ~50x slower)."""
+
+    def test_floordiv24_exact_incl_boundary(self):
+        from brief_pytorch_tpu.core.coords import floordiv24
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        a = np.concatenate([rng.integers(0, 1 << 24, 20000),
+                            np.asarray([0, 1, (1 << 24) - 1])]).astype(np.int32)
+        for b in [1, 2, 3, 7, 63, 64, 80, 81, 511, 512, 6399, 2 ** 20 - 1]:
+            got = np.asarray(floordiv24(jnp.asarray(a), b))
+            np.testing.assert_array_equal(got, a // b, err_msg=f"b={b}")
+
+    def test_flat_to_axes_and_coords_match_dynamic(self):
+        from brief_pytorch_tpu.core.coords import (axes_to_coords,
+                                                   flat_to_axes24,
+                                                   index_to_coords_dynamic)
+        import jax.numpy as jnp
+        for shape in [(7, 9, 11), (80, 80, 80), (1, 5, 3), (64, 64)]:
+            pop = int(np.prod(shape))
+            idx = jnp.asarray(np.random.default_rng(1).integers(0, pop, 500))
+            sv = jnp.asarray(shape, jnp.int32)
+            axes = np.asarray(flat_to_axes24(idx, sv))
+            expect = np.stack(np.unravel_index(np.asarray(idx), shape), -1)
+            np.testing.assert_array_equal(axes, expect)
+            got = np.asarray(axes_to_coords(flat_to_axes24(idx, sv), sv, "-1,1"))
+            ref = np.asarray(index_to_coords_dynamic(idx, sv, "-1,1"))
+            np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_row_major_strides(self):
+        from brief_pytorch_tpu.core.coords import row_major_strides
+        import jax.numpy as jnp
+        s = np.asarray(row_major_strides(jnp.asarray([4, 5, 6], jnp.int32)))
+        np.testing.assert_array_equal(s, [30, 6, 1])
