@@ -42,13 +42,39 @@ def make_schedule(base_lr: float, sched_cfg: Dict | None) -> Callable:
     raise NotImplementedError(name)
 
 
+_OPT_CACHE: Dict = {}
+
+
+def _canon(obj):
+    """Hashable canonical form of a schedule config (dict/Config/None)."""
+    if obj is None:
+        return None
+    if hasattr(obj, "to_plain"):
+        obj = obj.to_plain()
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _canon(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_canon(v) for v in obj)
+    return obj
+
+
 def make_optimizer(name: str, lr: float, sched_cfg: Dict | None = None
                    ) -> optax.GradientTransformation:
+    """Memoized: two optax transforms built from equal configs never
+    compare equal, and the trainers pass the transform as a STATIC jit
+    argument — a fresh object per call would recompile every jitted
+    segment (one full XLA compile per experiment/trainer instance)."""
+    cache_key = (name, float(lr), _canon(sched_cfg))
+    if cache_key in _OPT_CACHE:
+        return _OPT_CACHE[cache_key]
     schedule = make_schedule(lr, sched_cfg)
     if name == "Adam":
-        return optax.adam(schedule)
-    if name == "Adamax":
-        return optax.adamax(schedule)
-    if name == "SGD":
-        return optax.sgd(schedule)
-    raise NotImplementedError(name)
+        tx = optax.adam(schedule)
+    elif name == "Adamax":
+        tx = optax.adamax(schedule)
+    elif name == "SGD":
+        tx = optax.sgd(schedule)
+    else:
+        raise NotImplementedError(name)
+    _OPT_CACHE[cache_key] = tx
+    return tx
