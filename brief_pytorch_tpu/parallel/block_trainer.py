@@ -141,13 +141,19 @@ def build_stacked(models: Sequence[_ChainModel], key,
         encoder=spec0.encoder, encoder_cfg=tuple(spec0.encoder_cfg))
 
     per_block = []
-    for bi, m in enumerate(models):
-        p = m.init(jax.random.fold_in(key, bi))
-        warm = init_layers_list[bi] if init_layers_list is not None else None
-        if warm is not None:
-            p = {**p, "layers": [{k: jnp.asarray(v) for k, v in l.items()}
-                                 for l in warm]}
-        per_block.append(p)
+    with _host_device():
+        # per-block inits are hundreds of tiny array ops; on a remote TPU
+        # each would be its own ~25 ms round-trip — run them on host CPU
+        # (the stacks are device_put to the mesh afterwards anyway)
+        for bi, m in enumerate(models):
+            p = m.init(jax.random.fold_in(key, bi))
+            warm = (init_layers_list[bi] if init_layers_list is not None
+                    else None)
+            if warm is not None:
+                p = {**p,
+                     "layers": [{k: jnp.asarray(v) for k, v in l.items()}
+                                for l in warm]}
+            per_block.append(p)
 
     params_layers = []
     for l in range(nlin):
@@ -176,6 +182,19 @@ def build_stacked(models: Sequence[_ChainModel], key,
         enc = {"bvals": jnp.stack(
             [per_block[bi]["encoder"]["bvals"] for bi in range(B)])}
     return sspec, params_layers, masks, enc
+
+
+def _host_device():
+    """Context manager pinning small eager ops to the host CPU backend
+    (no-op when only one backend exists)."""
+    import contextlib
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        if cpu == jax.devices()[0]:
+            return contextlib.nullcontext()
+        return jax.default_device(cpu)
+    except Exception:
+        return contextlib.nullcontext()
 
 
 def _mm(h, w, compute_dtype):
@@ -650,8 +669,10 @@ class BlockFleetTrainer:
     def _prepare_solo(self, blocks: List[Dict], idx: int, cc) -> _SoloState:
         blk = blocks[idx]
         model = blk["model"]
-        params = model.init(jax.random.fold_in(jax.random.PRNGKey(self.seed),
-                                               idx))
+        with _host_device():
+            params = model.init(
+                jax.random.fold_in(jax.random.PRNGKey(self.seed), idx))
+        params = jax.device_put(params, jax.devices()[0])
         spatial = tuple(int(s) for s in blk["data_norm"].shape[:-1])
         c = blk["data_norm"].shape[-1]
         mode = cc.coords_mode
