@@ -373,7 +373,7 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
         if sampler == "fullbatch":
             idx = jnp.arange(data.shape[1])
             vals = data_b
-            wts = weight_b
+            wts = weight_b if weight is not None else jnp.ones_like(vals)
             sample_valid = (idx < valid_b)[:, None].astype(jnp.float32)
             # exact: the cube guard bounds full-batch blocks <= 80^3 < 2^24
             axes = flat_to_axes24(idx, shape_b)
@@ -382,7 +382,8 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
             strides = row_major_strides(shape_b)
             idx = jnp.sum(pos * strides, axis=-1).reshape(-1)
             vals = data_b[idx]
-            wts = weight_b[idx]
+            wts = weight_b[idx] if weight is not None \
+                else jnp.ones_like(vals)
             sample_valid = None
             axes = pos.reshape(-1, ndim)
         else:
@@ -394,7 +395,8 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
             strides = row_major_strides(shape_b)
             idx = jnp.sum(axes * strides, axis=-1)
             vals = data_b[idx]
-            wts = weight_b[idx]
+            wts = weight_b[idx] if weight is not None \
+                else jnp.ones_like(vals)
             sample_valid = None
         coords = axes_to_coords(axes, shape_b, coords_mode)
         pred = stacked_apply(layers_b, masks_b, coords, spec, enc_b,
@@ -604,6 +606,9 @@ class BlockFleetTrainer:
             models, jax.random.PRNGKey(self.seed),
             [b.get("init_layers") for b in sub])
         batch = BlockBatch.build(sub)
+        # all-ones weights (the default) skip the weight stack entirely:
+        # halves the fleet's HBM residency and the per-step gather traffic
+        unit_weight = all(bool(np.all(b["weight"] == 1.0)) for b in sub)
 
         # effective bucket sampler: the clipped cube is bucket-static; when
         # it covers EVERY block exactly, each cube is the whole block and
@@ -658,7 +663,7 @@ class BlockFleetTrainer:
             enc=jax.device_put(enc, bs) if enc else {},
             batch=batch,
             data=jax.device_put(batch.data, bs),
-            weight=jax.device_put(batch.weight, bs),
+            weight=None if unit_weight else jax.device_put(batch.weight, bs),
             valid=jax.device_put(batch.valid, bs),
             shapes=jax.device_put(batch.shapes, bs),
             tx=tx, key=jax.random.PRNGKey(self.seed + 1),
@@ -676,19 +681,21 @@ class BlockFleetTrainer:
         spatial = tuple(int(s) for s in blk["data_norm"].shape[:-1])
         c = blk["data_norm"].shape[-1]
         mode = cc.coords_mode
+        unit_weight = bool(np.all(blk["weight"] == 1.0))
         if blk["sampler_name"] == "randomcube":
             clipped = tuple(min(int(cl), s) for cl, s in
                             zip(cc.sampler.cube_len, spatial))
             sampler = RandomCubeSampler(spatial, mode,
                                         int(cc.sampler.cube_count), clipped)
             dev_data = jnp.asarray(blk["data_norm"])
-            dev_weight = jnp.asarray(blk["weight"])
+            dev_weight = None if unit_weight else jnp.asarray(blk["weight"])
             cps = sampler.cube_count * int(np.prod(clipped))
         else:
             sampler = RandomPointSampler(spatial, mode,
                                          int(cc.sampler.sample_size))
             dev_data = jnp.asarray(blk["data_norm"].reshape(-1, c))
-            dev_weight = jnp.asarray(blk["weight"].reshape(-1, c))
+            dev_weight = None if unit_weight \
+                else jnp.asarray(blk["weight"].reshape(-1, c))
             cps = sampler.sample_size
         tx = make_optimizer(cc.optimizer_name_phi, float(cc.lr_phi),
                             cc.lr_scheduler_phi)

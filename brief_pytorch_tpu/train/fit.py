@@ -209,7 +209,10 @@ class NFGR:
                      "phi_features": features,
                      "phi_name": self.opt.Module.phi.name}
 
-        # sampler
+        # sampler.  All-ones weight volumes (the default) skip the weight
+        # upload and the per-step weight gather entirely — the hot loop is
+        # gather-bound at INR sizes (RESULTS.md roofline).
+        unit_weight = bool(np.all(weight == 1.0))
         spatial = tuple(int(s) for s in data_norm.shape[:-1])
         mode = self.opt.Compress.coords_mode
         if self.opt.Compress.sampler.name == "randompoint":
@@ -217,7 +220,8 @@ class NFGR:
                                          int(self.opt.Compress.sampler.sample_size))
             c = data_norm.shape[-1]
             dev_data = jnp.asarray(data_norm.reshape(-1, c))
-            dev_weight = jnp.asarray(weight.reshape(-1, c))
+            dev_weight = None if unit_weight \
+                else jnp.asarray(weight.reshape(-1, c))
             coords_per_step = sampler.sample_size
         elif self.opt.Compress.sampler.name == "randomcube":
             clipped = tuple(min(int(c), s) for c, s in zip(cube_len, spatial))
@@ -225,7 +229,7 @@ class NFGR:
                                         int(self.opt.Compress.sampler.cube_count),
                                         clipped)
             dev_data = jnp.asarray(data_norm)
-            dev_weight = jnp.asarray(weight)
+            dev_weight = None if unit_weight else jnp.asarray(weight)
             coords_per_step = sampler.cube_count * int(np.prod(clipped))
         else:
             raise NotImplementedError(self.opt.Compress.sampler.name)

@@ -37,13 +37,19 @@ class RandomPointSampler:
     coords_mode: str
     sample_size: int
 
-    def sample(self, key, data_flat: jnp.ndarray, weight_flat: jnp.ndarray):
-        """data_flat/weight_flat: (pop, c).  Returns (coords, values, weights)."""
+    def sample(self, key, data_flat: jnp.ndarray, weight_flat):
+        """data_flat/weight_flat: (pop, c).  Returns (coords, values, weights).
+
+        weight_flat None means unit weights (all-ones volumes skip the
+        second gather — the step is gather-bound at INR sizes)."""
         pop = data_flat.shape[0]
         idx = jax.random.randint(key, (self.sample_size,), 0, pop)
         coords = index_to_coords(idx, self.spatial_shape, self.coords_mode,
                                  data_flat.dtype)
-        return coords, data_flat[idx], weight_flat[idx]
+        vals = data_flat[idx]
+        wts = weight_flat[idx] if weight_flat is not None \
+            else jnp.ones_like(vals)
+        return coords, vals, wts
 
 
 @dataclass(frozen=True)
@@ -72,7 +78,8 @@ class RandomCubeSampler:
             start = tuple(corner[i] for i in range(ndim)) + (0,)
             sizes = tuple(self.cube_len) + (data.shape[-1],)
             vals = jax.lax.dynamic_slice(data, start, sizes)
-            wts = jax.lax.dynamic_slice(weight, start, sizes)
+            wts = jax.lax.dynamic_slice(weight, start, sizes) \
+                if weight is not None else jnp.ones_like(vals)
             # cube-local flat index -> global flat index -> coords
             local = jnp.arange(math.prod(self.cube_len))
             axes = []
