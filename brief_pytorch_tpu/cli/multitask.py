@@ -22,9 +22,15 @@ def main(argv=None):
                         help="run experiments as OS subprocesses")
     args = parser.parse_args(argv)
     max_task = 1 if args.onebyone else args.m
+    # -onebyone also pins to the single listed device, like the reference
+    # (MultiTask.py:114-118); subprocess mode pins via the Queue's slots
+    devices = [d for d in str(args.g).split(",") if d != ""]
+    if args.onebyone:
+        devices = devices[:1]
     queue = run_multitask(args.p, args.stp, use_subprocess=args.subprocess,
                           time_interval=args.t, max_task=max_task,
-                          debug=args.debug)
+                          debug=args.debug,
+                          device_list=devices if args.subprocess else None)
     print(queue.status_table())
     return queue
 

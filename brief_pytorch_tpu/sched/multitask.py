@@ -85,10 +85,14 @@ def _make_runner(yaml_path: str):
 
 def run_multitask(yaml_path: str, main_script_path: str = "",
                   use_subprocess: bool = False, time_interval: float = 0,
-                  max_task: int = 1, debug: bool = False) -> Queue:
+                  max_task: int = 1, debug: bool = False,
+                  device_list=None) -> Queue:
+    """device_list: explicit device slots for subprocess pinning (the
+    reference passes its gpu_list into the Queue, MultiTask.py:86-90);
+    None leaves commands untouched."""
     tasks, temp_dir = gen_task_list(yaml_path, main_script_path,
                                     use_subprocess)
-    queue = Queue(tasks)
+    queue = Queue(tasks, device_list=device_list)
     queue.init_sharecost_dict()
     try:
         queue.start(time_interval=time_interval, max_task=max_task,
