@@ -65,6 +65,16 @@ def save_phi_module(model, params, module_path: str) -> None:
     if model.serializable_chain:
         save_model([{k: np.asarray(v) for k, v in l.items()}
                     for l in params["layers"]], module_path)
+        if "encoder" in params:
+            # FFN's frozen Fourier bvals: decompress can regenerate them
+            # bit-exactly only through the torch seed-0 path
+            # (models/phi._ffn_bvals); persist them so archives decode
+            # correctly in torch-less environments too.  load_model
+            # ignores non weight-*/bias-* files, so the raw layout stays
+            # reader-compatible.
+            np.savez(os.path.join(module_path, "encoder.npz"),
+                     **{k: np.asarray(v)
+                        for k, v in params["encoder"].items()})
         return
     import jax
     if os.path.exists(module_path):

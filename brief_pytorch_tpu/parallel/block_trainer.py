@@ -273,7 +273,11 @@ class BlockBatch:
     @staticmethod
     def build(blocks: List[Dict], pad_multiple: int = 1) -> "BlockBatch":
         """blocks: dicts with 'data_norm' (*spatial, c) float32 and
-        'weight' of the same shape."""
+        'weight' of the same shape.
+
+        Arrays stay HOST numpy: the trainer device_puts data onto the mesh
+        itself, and the weight stack must never touch the device when the
+        unit-weight fast path applies."""
         ndim = blocks[0]["data_norm"].ndim - 1
         c = blocks[0]["data_norm"].shape[-1]
         vmax = max(int(np.prod(b["data_norm"].shape[:-1])) for b in blocks)
@@ -290,8 +294,7 @@ class BlockBatch:
             weight[i, :v] = b["weight"].reshape(v, c)
             valid[i] = v
             shapes[i] = b["data_norm"].shape[:-1]
-        return BlockBatch(jnp.asarray(data), jnp.asarray(weight),
-                          jnp.asarray(valid), jnp.asarray(shapes), vmax, ndim)
+        return BlockBatch(data, weight, valid, shapes, vmax, ndim)
 
 
 # --------------------------------------------------------------------------
@@ -631,12 +634,15 @@ class BlockFleetTrainer:
         target = ((B + nshards - 1) // nshards) * nshards
         pad = lambda x: jnp.concatenate(
             [x, jnp.repeat(x[:1], target - B, axis=0)], axis=0)
+        # batch arrays stay on host (numpy) until the device_put below
+        pad_np = lambda x: np.concatenate(
+            [x, np.repeat(x[:1], target - B, axis=0)], axis=0)
         if target > B:
             params_layers = jax.tree_util.tree_map(pad, params_layers)
             masks = [pad(m) for m in masks]
             enc = jax.tree_util.tree_map(pad, enc)
-            batch = BlockBatch(pad(batch.data), pad(batch.weight),
-                               pad(batch.valid), pad(batch.shapes),
+            batch = BlockBatch(pad_np(batch.data), pad_np(batch.weight),
+                               pad_np(batch.valid), pad_np(batch.shapes),
                                batch.vmax, batch.ndim)
 
         # 0.0 is the "override disabled" sentinel (loss.py `if weight_thres:`,

@@ -59,11 +59,18 @@ class Task:
                 if self.device is not None:
                     # pin the child to its assigned device the way the
                     # reference Worker appends `-g <gpu>`
-                    # (TasksManager.py:64); BRIEF_TPU_DEVICE lets non-CLI
-                    # children read the slot too
+                    # (TasksManager.py:64).  The flag alone is cosmetic on
+                    # TPU (JAX ignores it), so also set the env vars the
+                    # child's runtime actually honors: TPU_VISIBLE_CHIPS
+                    # (libtpu) / CUDA_VISIBLE_DEVICES (GPU); BRIEF_TPU_DEVICE
+                    # lets non-CLI children read the slot too
                     import os
-                    cmd = f"{cmd} -g {self.device}"
-                    env = {**os.environ, "BRIEF_TPU_DEVICE": str(self.device)}
+                    dev = str(self.device)
+                    cmd = f"{cmd} -g {dev}"
+                    env = {**os.environ,
+                           "BRIEF_TPU_DEVICE": dev,
+                           "TPU_VISIBLE_CHIPS": dev,
+                           "CUDA_VISIBLE_DEVICES": dev}
                 proc = subprocess.run(cmd, shell=True, env=env, **kwargs)
                 self.returncode = proc.returncode
             self.status = "finish" if self.returncode == 0 else "error"
@@ -118,8 +125,16 @@ class Queue:
         lock = threading.Lock()
         # round-robin device slot pool: each running task holds one device
         # from device_list for its lifetime (the reference Worker pins each
-        # child to a GPU, TasksManager.py:64)
+        # child to a GPU, TasksManager.py:64).  Never run more concurrent
+        # tasks than device slots — a worker without a slot would fall to
+        # the default device and silently oversubscribe it.
         free_devices = list(self.device_list) if self.pin_devices else []
+        if self.pin_devices and max_task > len(self.device_list):
+            logging.warning(
+                "max_task=%d exceeds the %d device slots; clamping "
+                "concurrency to the slot count", max_task,
+                len(self.device_list))
+            max_task = len(self.device_list)
 
         def next_task():
             # status/ets are written under the lock so a concurrent

@@ -211,25 +211,33 @@ class NFGR:
 
         # sampler.  All-ones weight volumes (the default) skip the weight
         # upload and the per-step weight gather entirely — the hot loop is
-        # gather-bound at INR sizes (RESULTS.md roofline).
+        # gather-bound at INR sizes (RESULTS.md roofline).  When the
+        # data-parallel trainer will own the volume (data_shards > 1), do
+        # NOT upload it here — DataParallelTrainer.prepare places the
+        # sharded copy (a duplicate full-volume transfer would cost minutes
+        # over a slow device link for GB volumes).
+        data_shards = int(self.opt.Compress.get("data_shards", 1) or 1)
         unit_weight = bool(np.all(weight == 1.0))
         spatial = tuple(int(s) for s in data_norm.shape[:-1])
         mode = self.opt.Compress.coords_mode
+        dev_data = dev_weight = None
         if self.opt.Compress.sampler.name == "randompoint":
             sampler = RandomPointSampler(spatial, mode,
                                          int(self.opt.Compress.sampler.sample_size))
             c = data_norm.shape[-1]
-            dev_data = jnp.asarray(data_norm.reshape(-1, c))
-            dev_weight = None if unit_weight \
-                else jnp.asarray(weight.reshape(-1, c))
+            if data_shards <= 1:
+                dev_data = jnp.asarray(data_norm.reshape(-1, c))
+                dev_weight = None if unit_weight \
+                    else jnp.asarray(weight.reshape(-1, c))
             coords_per_step = sampler.sample_size
         elif self.opt.Compress.sampler.name == "randomcube":
             clipped = tuple(min(int(c), s) for c, s in zip(cube_len, spatial))
             sampler = RandomCubeSampler(spatial, mode,
                                         int(self.opt.Compress.sampler.cube_count),
                                         clipped)
-            dev_data = jnp.asarray(data_norm)
-            dev_weight = None if unit_weight else jnp.asarray(weight)
+            if data_shards <= 1:
+                dev_data = jnp.asarray(data_norm)
+                dev_weight = None if unit_weight else jnp.asarray(weight)
             coords_per_step = sampler.cube_count * int(np.prod(clipped))
         else:
             raise NotImplementedError(self.opt.Compress.sampler.name)
@@ -248,7 +256,6 @@ class NFGR:
         # coordinate-sharded data-parallel trainer (Compress.data_shards > 1:
         # one network, batch sharded over the mesh's 'data' axis, grads
         # pmean'd over ICI — parallel/data_parallel.py)
-        data_shards = int(self.opt.Compress.get("data_shards", 1) or 1)
         dp = None
         if data_shards > 1:
             if self.opt.Compress.sampler.name != "randompoint":
@@ -269,7 +276,6 @@ class NFGR:
             params, opt_state = dp.prepare(data_norm, weight,
                                            self.opt.Compress, thres_norm,
                                            params)
-            dev_data = dev_weight = None   # dp holds its own sharded copy
         else:
             tx = make_optimizer(self.opt.Compress.optimizer_name_phi,
                                 float(self.opt.Compress.lr_phi),
@@ -473,6 +479,13 @@ class NFGR:
             params = {**params,
                       "layers": [{k: jnp.asarray(v) for k, v in l.items()}
                                  for l in layers]}
+            enc_path = opj(module_path, "encoder.npz")
+            if os.path.exists(enc_path):
+                # frozen encoder params saved by save_phi_module (FFN bvals)
+                with np.load(enc_path) as z:
+                    params = {**params,
+                              "encoder": {k: jnp.asarray(z[k])
+                                          for k in z.files}}
         half = bool(opt.Compress.half)
         apply_fn = fused_apply_or(model, model.apply, use_pallas=not half)
         dec = reconstruct_flattened(apply_fn, params, sideinfos["data_shape"],

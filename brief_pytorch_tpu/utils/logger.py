@@ -69,8 +69,11 @@ class MyLogger:
         if self.tb is not None:
             self.tb.close()
         if self._stderr_file is not None:
-            # restore only if nobody re-redirected after us
             if sys.stderr is self._stderr_file:
                 sys.stderr = self._prev_stderr
-            self._stderr_file.close()
+                self._stderr_file.close()
+            # else: somebody re-redirected after us and may still hold our
+            # file as THEIR _prev_stderr (out-of-order close) — leave both
+            # the redirect and the file alone so a later restore never
+            # lands on a closed file
             self._stderr_file = None

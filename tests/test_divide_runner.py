@@ -245,3 +245,23 @@ def test_divide_mfn_end_to_end(brain64_path, tmp_path):
     res = compress_divide(opt, log)
     assert "psnr" in res
     _archive_matches_saved(opt, log, brain64_path, steps="steps30")
+
+
+def test_divide_ffn_end_to_end(brain64_path, tmp_path):
+    """FFN blocks stack with frozen per-block Fourier bvals; the archive
+    persists them (encoder.npz) so standalone decode is bit-equal without
+    relying on the torch seed-0 regeneration path."""
+    from brief_pytorch_tpu.parallel.divide_runner import compress_divide
+    opt = _opt(brain64_path, str(tmp_path))
+    opt.CompressFramework.Compress.max_steps = 40
+    opt.CompressFramework.Module.phi = cfglib.loads(
+        "{name: FFN, coords_channel: 3, data_channel: 1, layers: 4, "
+        "embsize: 32, scale: 10, output_act: false, res: false}")
+    log = MyLogger(**opt.Log.to_plain())
+    res = compress_divide(opt, log)
+    assert "psnr" in res
+    step = os.path.join(log.logdir, "steps40")
+    mod0 = sorted(os.listdir(os.path.join(step, "compressed", "module")))[0]
+    assert os.path.isfile(os.path.join(step, "compressed", "module", mod0,
+                                       "module", "encoder.npz"))
+    _archive_matches_saved(opt, log, brain64_path, steps="steps40")
