@@ -36,7 +36,9 @@ Per-block semantics preserved from the reference children (temp_main.py):
 per-block normalisation (own min/max), per-block byte budgets and the
 degradation chain, per-block loss means, per-block Adamax + MultiStepLR,
 and the per-child RandomCubeSampler (main.py:38-125) — cube draws are
-reproduced exactly (same randint corner draw, same voxel order) as
+bit-identical to this repo's RandomCubeSampler (same per-axis randint
+corner draw, same voxel order) and distributionally equivalent to the
+reference's flat randint over the unfolded cube population; they run as
 flat-index gathers so they vmap over heterogeneous block shapes.
 """
 from __future__ import annotations
@@ -390,8 +392,16 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
             sample_valid = None
             axes = pos.reshape(-1, ndim)
         else:
-            # per-axis uniform draws == uniform flat draw over the block
-            # (product of independent uniforms), multiplies only
+            # per-axis draws: floor(u * S) with u uniform on the 2^23-grid
+            # {0, 2^-23, ..., 1 - 2^-23} (float32 mantissa granularity of
+            # jax.random.uniform).  The product of independent per-axis
+            # draws is the uniform flat draw over the block (the reference's
+            # flat randint, main.py:126-163) up to a per-position relative
+            # probability error <= S * 2^-23 per axis (< 2.5e-4 at S=2048;
+            # bound tested exactly in test_block_trainer.py) — chosen over
+            # randint because randint's modular reduction is an integer
+            # `rem` by a TRACED bound, which TPUs lower to a slow expansion
+            # (see the NOTE above).
             u = jax.random.uniform(key_b, (sample_size, ndim))
             axes = jnp.minimum((u * shape_b.astype(u.dtype)).astype(jnp.int32),
                                shape_b - 1)
@@ -452,7 +462,11 @@ def decode_blocks(params_layers, masks, enc, shapes, *,
     def one_block(layers_b, masks_b, enc_b, shape_b):
         def body(_, i):
             idx = i * slab + jnp.arange(slab)
-            if vmax <= (1 << 24):
+            # exactness precondition: flat_to_axes24's one-step corrections
+            # are proven for indices < 2^24, and the scan's last slab feeds
+            # indices up to n_slabs*slab - 1 (the overshoot rows past vmax
+            # are sliced off below, but they still go through the math)
+            if n_slabs * slab <= (1 << 24):
                 # multiply-only index decomposition (see block_loss NOTE)
                 coords = axes_to_coords(flat_to_axes24(idx, shape_b),
                                         shape_b, coords_mode)
@@ -494,10 +508,13 @@ class _BucketState:
 
 @dataclass
 class _SoloState:
-    """Per-block training state for φ families whose parameter structure
-    cannot be stack-padded (MFN multiplicative filters).  One jitted
-    program per block — the TPU equivalent of one reference child process
-    (reference main.py:277-280 trains ANY registered φ per block)."""
+    """Per-block training state for blocks that cannot join a stacked
+    bucket: φ families without chain structure (MFN multiplicative
+    filters), and blocks whose per-chunk `exception` config overrides
+    step-level hyperparameters (sampler/lr/optimizer/max_steps — reference
+    main.py:568-569 merges ANY override into that child's config).  One
+    jitted program per block — the TPU equivalent of one reference child
+    process (main.py:277-280)."""
     block_idx: int
     model: object
     params: object
@@ -510,6 +527,10 @@ class _SoloState:
     thres: float
     coords_per_step: int
     sampler_name: str = "randompoint"
+    cc: object = None            # this block's effective Compress node
+    total_steps: int = 0         # this block's own max_steps
+    steps_done: int = 0
+    last_losses: object = None   # device losses of the last dispatched piece
 
 
 class BlockFleetTrainer:
@@ -551,18 +572,22 @@ class BlockFleetTrainer:
         solo_idxs: List[int] = []
         for i, blk in enumerate(blocks):
             m = blk["model"]
+            # blocks with a per-chunk `exception` that overrides step-level
+            # hyperparameters carry their OWN Compress node (solo_cfg) and
+            # train solo with it (reference main.py:568-569)
+            blk_cc = blk.get("solo_cfg") or cc
             # per-block effective sampler: the reference's 80^3 cube guard
             # runs in each child process on its own block (main.py:332-334);
             # here it decides the block's bucket so big blocks never take
             # the full-batch randomcube path (HBM blowup at Vmax ~ millions)
             block_voxels = int(np.prod(blk["data_norm"].shape[:-1]))
             clipped = tuple(min(int(c), s) for c, s in
-                            zip(cc.sampler.cube_len,
+                            zip(blk_cc.sampler.cube_len,
                                 blk["data_norm"].shape[:-1]))
-            eff_sampler = cube_size_guard(cc.sampler.name, block_voxels,
+            eff_sampler = cube_size_guard(blk_cc.sampler.name, block_voxels,
                                           int(np.prod(clipped)))
             blk["sampler_name"] = eff_sampler
-            if not isinstance(m, _ChainModel):
+            if not isinstance(m, _ChainModel) or blk.get("solo_cfg"):
                 solo_idxs.append(i)
                 continue
             sig = (type(m).__name__, _stack_signature(m.spec), eff_sampler,
@@ -570,7 +595,8 @@ class BlockFleetTrainer:
             buckets.setdefault(sig, []).append(i)
         self._states = [self._prepare_bucket(blocks, idxs, cc)
                         for idxs in buckets.values()]
-        self._solo = [self._prepare_solo(blocks, i, cc) for i in solo_idxs]
+        self._solo = [self._prepare_solo(blocks, i, cc, max_steps)
+                      for i in solo_idxs]
 
         ckpts = checkpoints or [max_steps]
         step = 0
@@ -581,7 +607,7 @@ class BlockFleetTrainer:
                 # fetch losses once — the device pipelines bucket programs
                 pending = [(st, self._run_segment(st, cc, n))
                            for st in self._states]
-                solo_pending = [(ss, self._run_solo_segment(ss, cc, n))
+                solo_pending = [(ss, self._run_solo_to(ss, ckpt, max_steps))
                                 for ss in self._solo]
                 if progress_cb is not None:
                     per_block = {}
@@ -590,8 +616,9 @@ class BlockFleetTrainer:
                         for bi, lv in zip(st.block_idxs, last):
                             per_block[bi] = lv
                     for ss, losses in solo_pending:
-                        per_block[ss.block_idx] = float(
-                            np.asarray(losses[-1]))
+                        if losses is not None:   # solo may not have started
+                            per_block[ss.block_idx] = float(
+                                np.asarray(losses[-1]))
                     progress_cb(ckpt, np.asarray(
                         [per_block[i] for i in sorted(per_block)]))
             step = ckpt
@@ -677,41 +704,52 @@ class BlockFleetTrainer:
             use_thres=bool(np.any(thres_host != 0.0)),
             sampler_name=sampler_name, cube_len=cube_len)
 
-    def _prepare_solo(self, blocks: List[Dict], idx: int, cc) -> _SoloState:
+    def _prepare_solo(self, blocks: List[Dict], idx: int, cc,
+                      fleet_max_steps: int) -> _SoloState:
         blk = blocks[idx]
+        scc = blk.get("solo_cfg") or cc
         model = blk["model"]
         with _host_device():
             params = model.init(
                 jax.random.fold_in(jax.random.PRNGKey(self.seed), idx))
+            warm = blk.get("init_layers")
+            if warm is not None and isinstance(model, _ChainModel):
+                # per-block warm start (reference main.py:345-354)
+                params = {**params,
+                          "layers": [{k: jnp.asarray(v)
+                                      for k, v in l.items()} for l in warm]}
         params = jax.device_put(params, jax.devices()[0])
         spatial = tuple(int(s) for s in blk["data_norm"].shape[:-1])
         c = blk["data_norm"].shape[-1]
-        mode = cc.coords_mode
+        mode = scc.coords_mode
         unit_weight = bool(np.all(blk["weight"] == 1.0))
         if blk["sampler_name"] == "randomcube":
             clipped = tuple(min(int(cl), s) for cl, s in
-                            zip(cc.sampler.cube_len, spatial))
+                            zip(scc.sampler.cube_len, spatial))
             sampler = RandomCubeSampler(spatial, mode,
-                                        int(cc.sampler.cube_count), clipped)
+                                        int(scc.sampler.cube_count), clipped)
             dev_data = jnp.asarray(blk["data_norm"])
             dev_weight = None if unit_weight else jnp.asarray(blk["weight"])
             cps = sampler.cube_count * int(np.prod(clipped))
         else:
             sampler = RandomPointSampler(spatial, mode,
-                                         int(cc.sampler.sample_size))
+                                         int(scc.sampler.sample_size))
             dev_data = jnp.asarray(blk["data_norm"].reshape(-1, c))
             dev_weight = None if unit_weight \
                 else jnp.asarray(blk["weight"].reshape(-1, c))
             cps = sampler.sample_size
-        tx = make_optimizer(cc.optimizer_name_phi, float(cc.lr_phi),
-                            cc.lr_scheduler_phi)
+        tx = make_optimizer(scc.optimizer_name_phi, float(scc.lr_phi),
+                            scc.lr_scheduler_phi)
+        total = int(scc.get("max_steps", fleet_max_steps)) \
+            if blk.get("solo_cfg") else fleet_max_steps
         return _SoloState(
             block_idx=idx, model=model, params=params,
             opt_state=tx.init(params), tx=tx,
             key=jax.random.fold_in(jax.random.PRNGKey(self.seed + 1), idx),
             sampler=sampler, dev_data=dev_data, dev_weight=dev_weight,
             thres=float(blk.get("weight_thres_norm", 0.0)),
-            coords_per_step=cps, sampler_name=blk["sampler_name"])
+            coords_per_step=cps, sampler_name=blk["sampler_name"],
+            cc=scc, total_steps=total)
 
     def _run_segment(self, st: _BucketState, cc, n_steps: int):
         """Advance one bucket n_steps; returns the (DEVICE) per-step loss
@@ -749,13 +787,23 @@ class BlockFleetTrainer:
             remaining -= seg_n
         return losses
 
+    def _run_solo_to(self, ss: _SoloState, fleet_step: int,
+                     fleet_max_steps: int):
+        """Advance one solo block to its PROPORTIONAL target step: a solo
+        block whose exception sets its own max_steps finishes exactly at
+        the fleet's final checkpoint (the reference children each run their
+        own full loop, main.py:568-569; proportional scheduling keeps the
+        shared checkpoints showing comparable progress)."""
+        target = round(fleet_step * ss.total_steps / max(1, fleet_max_steps))
+        return self._run_solo_segment(ss, ss.cc, target - ss.steps_done)
+
     def _run_solo_segment(self, ss: _SoloState, cc, n_steps: int):
-        """Advance one solo (non-stackable) block n_steps via the
-        single-volume jitted segment (train/fit.run_segment)."""
+        """Advance one solo block n_steps via the single-volume jitted
+        segment (train/fit.run_segment) using ITS OWN effective config."""
         from brief_pytorch_tpu.train.fit import run_segment, segment_cap
         cap = segment_cap(ss.coords_per_step)
-        remaining = n_steps
-        losses = None
+        remaining = max(0, n_steps)
+        losses = ss.last_losses
         while remaining > 0:
             seg_n = min(remaining, cap)
             ss.key, seg = jax.random.split(ss.key)
@@ -766,6 +814,8 @@ class BlockFleetTrainer:
                 beta=float(cc.loss.get("beta", 0.01)),
                 n_steps=seg_n, half=bool(cc.half))
             remaining -= seg_n
+            ss.steps_done += seg_n
+        ss.last_losses = losses
         return losses
 
     def fleet_stats(self) -> List[Dict]:
@@ -828,7 +878,8 @@ class BlockFleetTrainer:
         for ss in self._solo:
             from brief_pytorch_tpu.train.decode import reconstruct_flattened
             shape = blocks[ss.block_idx]["data_norm"].shape
+            scc = ss.cc if ss.cc is not None else cc
             results[ss.block_idx] = reconstruct_flattened(
-                ss.model.apply, ss.params, shape, 1 << 15, cc.coords_mode,
-                bool(cc.half))
+                ss.model.apply, ss.params, shape, 1 << 15, scc.coords_mode,
+                bool(scc.half))
         return results

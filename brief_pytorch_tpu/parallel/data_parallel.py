@@ -63,7 +63,11 @@ def _dp_segment(params, opt_state, data_sharded, weight_sharded, key, *,
                 kk = jax.random.fold_in(k, rank)
                 idx = jax.random.randint(kk, (local_batch,), 0, local_pop)
                 vals = local_data[idx]
-                wts = local_weight[idx]
+                # unit weights (the default) never ship a weight shard at
+                # all — mirrors fit.py's fast path (a GB-scale all-ones
+                # volume over the device link is pure waste)
+                wts = (local_weight[idx] if local_weight is not None
+                       else jnp.ones_like(vals))
                 gidx = rank * local_pop + idx
                 # padding rows (pop not divisible by the shard count) hold
                 # copies of voxel 0 — map their global index back to 0 so
@@ -131,14 +135,19 @@ class DataParallelTrainer:
     def shard_volume(self, data_norm: np.ndarray, weight: np.ndarray
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[int, ...]]:
         """Flatten (*spatial, c) -> (pop, c) padded to the shard count and
-        placed with the leading axis split over 'data'."""
+        placed with the leading axis split over 'data'.
+
+        weight None (or all-ones) skips the weight shard entirely — no
+        host->device transfer and no HBM residency for a unit volume."""
         spatial = tuple(int(s) for s in data_norm.shape[:-1])
         c = data_norm.shape[-1]
         flat = _pad_to_multiple(
             np.asarray(data_norm, np.float32).reshape(-1, c), self.ndata)
+        sh = NamedSharding(self.mesh, P("data"))
+        if weight is None or bool(np.all(np.asarray(weight) == 1.0)):
+            return host_to_global(flat, sh), None, spatial
         wflat = _pad_to_multiple(
             np.asarray(weight, np.float32).reshape(-1, c), self.ndata)
-        sh = NamedSharding(self.mesh, P("data"))
         return (host_to_global(flat, sh), host_to_global(wflat, sh), spatial)
 
     # ---------------------------------------------------- segment API -----
@@ -159,8 +168,18 @@ class DataParallelTrainer:
             lambda x: host_to_global(np.asarray(x), rep), params)
         opt_state = jax.jit(self._tx.init,
                             out_shardings=rep)(params)
-        self._local_batch = max(1, int(cc.sampler.sample_size) // self.ndata)
+        # ceil, not floor: equal per-shard batches cannot hit a non-divisible
+        # global sample_size exactly, so round UP — the global batch is the
+        # smallest multiple of ndata >= sample_size (floor silently dropped
+        # up to ndata-1 coords per step, e.g. 100k over 3 shards -> 99,999)
+        ss = int(cc.sampler.sample_size)
+        self._local_batch = max(1, -(-ss // self.ndata))
         return params, opt_state
+
+    @property
+    def global_batch(self) -> int:
+        """Coords per step across the mesh (>= cc.sampler.sample_size)."""
+        return self._local_batch * self.ndata
 
     def run_steps(self, params, opt_state, n_steps: int, key):
         """One jitted multi-step segment (call repeatedly between

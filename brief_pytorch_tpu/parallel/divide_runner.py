@@ -129,14 +129,23 @@ def compress_divide(opt, log, args=None) -> Dict:
                          cf_opt.Compress.divide.param_size_thres)
 
     # per-chunk config exceptions (reference main.py:535-537, 568-569):
-    # overrides merged into THAT chunk's effective config.  Per-block
-    # overrides that affect preparation (param budget, loss weights,
-    # normalisation, phi family/width, warm start) are honoured; fleet-wide
-    # step hyperparameters (sampler, lr, max_steps) come from the base
-    # config since all blocks advance in one SPMD program.
+    # overrides merged into THAT chunk's effective config.  Preparation
+    # overrides (param budget, loss weights, normalisation, phi family/
+    # width, warm start) fold into the block dict; overrides of STEP-level
+    # hyperparameters (sampler, max_steps, lr, optimizer, schedule, loss
+    # name/beta, half, coords_mode) route the block to the fleet's solo
+    # path, which trains it with its own jitted program and effective
+    # config — exactly what a reference child process did.
     exception_opt = cf_opt.Compress.divide.exception
     if exception_opt == "none" or exception_opt is None:
         exception_opt = {}
+
+    def _step_params(cc):
+        """The step-level hyperparameters a stacked bucket shares."""
+        return (cc.sampler.to_plain(), int(cc.max_steps), float(cc.lr_phi),
+                str(cc.optimizer_name_phi), cc.lr_scheduler_phi.to_plain(),
+                str(cc.loss.name), float(cc.loss.get("beta", 0.01)),
+                bool(cc.half), str(cc.coords_mode))
 
     # per-block preparation (what each reference child process did on its own)
     blocks: List[Dict] = []
@@ -146,13 +155,14 @@ def compress_divide(opt, log, args=None) -> Dict:
         if chunk["name"] in exception_opt:
             blk_opt = cfglib.merge(cf_opt,
                                    dict(exception_opt[chunk["name"]]))
-            if any(k in exception_opt[chunk["name"]].get("Compress", {})
-                   for k in ("sampler", "max_steps", "lr_phi",
-                             "optimizer_name_phi")):
+            if _step_params(blk_opt.Compress) != _step_params(cf_opt.Compress):
+                # this chunk trains solo with its own merged config
+                # (reference main.py:568-569: the child gets the override)
+                blk["solo_cfg"] = blk_opt.Compress
                 import logging
-                logging.warning(
-                    "exception for %s overrides fleet-wide step params; "
-                    "those stay at the base config under SPMD training",
+                logging.info(
+                    "exception for %s overrides step-level params; the "
+                    "block trains on the solo path with its own config",
                     chunk["name"])
         chunk_pre = chunk["data"]
         blk["weight"] = parse_weight(chunk_pre, blk_opt.Compress.loss.weight)

@@ -65,8 +65,15 @@ def make_optimizer(name: str, lr: float, sched_cfg: Dict | None = None
     argument — a fresh object per call would recompile every jitted
     segment (one full XLA compile per experiment/trainer instance)."""
     cache_key = (name, float(lr), _canon(sched_cfg))
-    if cache_key in _OPT_CACHE:
-        return _OPT_CACHE[cache_key]
+    try:
+        if cache_key in _OPT_CACHE:
+            return _OPT_CACHE[cache_key]
+        cacheable = True
+    except TypeError:
+        # _canon passes unknown leaf types (e.g. numpy arrays of milestones)
+        # through unchanged; fall back to an unmemoized transform rather
+        # than raising at the dict lookup (caller pays a recompile instead)
+        cacheable = False
     schedule = make_schedule(lr, sched_cfg)
     if name == "Adam":
         tx = optax.adam(schedule)
@@ -76,5 +83,6 @@ def make_optimizer(name: str, lr: float, sched_cfg: Dict | None = None
         tx = optax.sgd(schedule)
     else:
         raise NotImplementedError(name)
-    _OPT_CACHE[cache_key] = tx
+    if cacheable:
+        _OPT_CACHE[cache_key] = tx
     return tx
