@@ -66,7 +66,12 @@ def init_linear(key, fan_in: int, fan_out: int, w_init: str, dtype=jnp.float32,
 
 def _act(name: str, w0: float, z: jnp.ndarray) -> jnp.ndarray:
     if name == "sine":
-        return jnp.sin(w0 * z)
+        # fast_sin: VPU-cheap sine (f32 error <= ~2e-6 in the SIREN
+        # argument range; ops/fast_math.py) — the training step is ~87%
+        # transcendental-bound without it.  Falls back to jnp.sin for
+        # float64 (x64 parity oracle) and BRIEF_TPU_EXACT_SINE=1.
+        from brief_pytorch_tpu.ops.fast_math import fast_sin
+        return fast_sin(w0 * z)
     if name == "relu":
         return jax.nn.relu(z)
     if name == "sigmoid":
@@ -154,12 +159,13 @@ def chain_apply(layers: Sequence[Dict], coords: jnp.ndarray, spec: ChainSpec,
 
 
 def _encode(coords, spec: ChainSpec, encoder_params, compute_dtype):
+    from brief_pytorch_tpu.ops.fast_math import fast_cos, fast_sin
     if spec.encoder == "none":
         return coords
     if spec.encoder == "sirenpos":
         # per-axis sin(2*pi/T_i * x_i), reference Networks.py:19-30
         T = jnp.asarray(spec.encoder_cfg, coords.dtype)
-        return jnp.sin((2.0 * jnp.pi / T) * coords)
+        return fast_sin((2.0 * jnp.pi / T) * coords)
     if spec.encoder == "nerf":
         # [x, (sin(2^i pi x_j), cos(2^i pi x_j)) for i in freqs for j in chans]
         # — exact column order of reference Networks.py:72-83.
@@ -168,14 +174,14 @@ def _encode(coords, spec: ChainSpec, encoder_params, compute_dtype):
         for i in range(frequencies):
             for j in range(coords.shape[-1]):
                 c = (2.0 ** i) * jnp.pi * coords[..., j:j + 1]
-                parts.append(jnp.sin(c))
-                parts.append(jnp.cos(c))
+                parts.append(fast_sin(c))
+                parts.append(fast_cos(c))
         return jnp.concatenate(parts, axis=-1)
     if spec.encoder == "ffn":
         # [sin(2 pi x B^T), cos(2 pi x B^T)], reference Networks.py:150-155.
         bvals = encoder_params["bvals"]  # (embsize, coords_channel)
         proj = _matmul(2.0 * jnp.pi * coords, bvals.T, compute_dtype)
-        return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+        return jnp.concatenate([fast_sin(proj), fast_cos(proj)], axis=-1)
     raise ValueError(spec.encoder)
 
 

@@ -48,7 +48,11 @@ def _round_up(x: int, m: int) -> int:
 
 def _act_fm(z, act: str, w0: float):
     if act == "sine":
-        return jnp.sin(w0 * z)
+        # fast_sin's jnp ops lower through Mosaic inside the kernel too —
+        # the step is transcendental-bound (RESULTS.md attribution), and
+        # Mosaic's full-range sin pays the same reduction tax as XLA's
+        from brief_pytorch_tpu.ops.fast_math import fast_sin
+        return fast_sin(w0 * z)
     if act == "relu":
         return jnp.maximum(z, 0.0)
     if act == "sigmoid":
@@ -61,7 +65,8 @@ def _act_fm(z, act: str, w0: float):
 def _act_grad_fm(z, act: str, w0: float):
     """d act(z) / dz, elementwise."""
     if act == "sine":
-        return w0 * jnp.cos(w0 * z)
+        from brief_pytorch_tpu.ops.fast_math import fast_cos
+        return w0 * fast_cos(w0 * z)
     if act == "relu":
         return (z > 0.0).astype(z.dtype)
     if act == "sigmoid":

@@ -58,7 +58,8 @@ from brief_pytorch_tpu.core.coords import (axes_to_coords, flat_to_axes24,
                                            row_major_strides)
 from brief_pytorch_tpu.models.phi import (ChainSpec, _ChainModel, _act,
                                           _encode)
-from brief_pytorch_tpu.parallel.mesh import block_sharding, make_mesh
+from brief_pytorch_tpu.parallel.mesh import (all_addressable, block_sharding,
+                                             host_to_global, make_mesh)
 from brief_pytorch_tpu.train.loss import make_loss
 from brief_pytorch_tpu.train.optim import make_optimizer
 from brief_pytorch_tpu.train.samplers import (RandomCubeSampler,
@@ -612,7 +613,10 @@ class BlockFleetTrainer:
                 if progress_cb is not None:
                     per_block = {}
                     for st, losses in pending:
-                        last = np.asarray(losses[-1])[:len(st.models)]
+                        # losses are sharded over 'blocks' (cross-process on
+                        # a multi-host mesh): all-gather before fetching
+                        last = np.asarray(all_addressable(
+                            losses[-1], self.mesh))[:len(st.models)]
                         for bi, lv in zip(st.block_idxs, last):
                             per_block[bi] = lv
                     for ss, losses in solo_pending:
@@ -687,20 +691,27 @@ class BlockFleetTrainer:
                             cc.lr_scheduler_phi)
         opt_state = jax.vmap(tx.init)(params_layers)
 
+        # host_to_global: single-process this is a plain device_put onto the
+        # mesh; under jax.distributed every process holds the full host
+        # value (shared-filesystem hand-off, like the reference's children,
+        # main.py:547-575) and contributes only its addressable shards —
+        # the fleet trains across process boundaries (VERDICT r2 item 1)
         bs = block_sharding(self.mesh)
+        put = lambda tree: jax.tree_util.tree_map(
+            lambda x: host_to_global(np.asarray(x), bs), tree)
         return _BucketState(
             block_idxs=list(idxs), models=models, spec=spec,
-            params=jax.device_put(params_layers, bs),
-            opt_state=jax.device_put(opt_state, bs),
-            masks=jax.device_put(masks, bs),
-            enc=jax.device_put(enc, bs) if enc else {},
+            params=put(params_layers),
+            opt_state=put(opt_state),
+            masks=put(masks),
+            enc=put(enc) if enc else {},
             batch=batch,
-            data=jax.device_put(batch.data, bs),
-            weight=None if unit_weight else jax.device_put(batch.weight, bs),
-            valid=jax.device_put(batch.valid, bs),
-            shapes=jax.device_put(batch.shapes, bs),
+            data=put(batch.data),
+            weight=None if unit_weight else put(batch.weight),
+            valid=put(batch.valid),
+            shapes=put(batch.shapes),
             tx=tx, key=jax.random.PRNGKey(self.seed + 1),
-            thres=jax.device_put(thres_arr, bs),
+            thres=put(thres_arr),
             use_thres=bool(np.any(thres_host != 0.0)),
             sampler_name=sampler_name, cube_len=cube_len)
 
@@ -718,7 +729,11 @@ class BlockFleetTrainer:
                 params = {**params,
                           "layers": [{k: jnp.asarray(v)
                                       for k, v in l.items()} for l in warm]}
-        params = jax.device_put(params, jax.devices()[0])
+        # local_devices: on a multi-process mesh every process trains its
+        # solo blocks redundantly on its own first device (identical
+        # deterministic math — same keys, same data), so the whole fleet's
+        # params exist on every process without any cross-host traffic
+        params = jax.device_put(params, jax.local_devices()[0])
         spatial = tuple(int(s) for s in blk["data_norm"].shape[:-1])
         c = blk["data_norm"].shape[-1]
         mode = scc.coords_mode
@@ -844,11 +859,16 @@ class BlockFleetTrainer:
         return out
 
     def _fleet_params(self, blocks: List[Dict]) -> List[Dict]:
-        """Per-block true-width params for the whole fleet, in block order."""
+        """Per-block true-width params for the whole fleet, in block order.
+        On a multi-process mesh the stacks are all-gathered first so every
+        process can slice out every block (each process writes/consumes the
+        full fleet, like every reference child sees the shared FS)."""
         out: List[Optional[Dict]] = [None] * len(blocks)
         for st in self._states:
+            params_h = all_addressable(st.params, self.mesh)
+            enc_h = all_addressable(st.enc, self.mesh) if st.enc else st.enc
             for bi, p in zip(st.block_idxs,
-                             unstack_params(st.params, st.models, st.enc)):
+                             unstack_params(params_h, st.models, enc_h)):
                 out[bi] = p
         for ss in self._solo:
             out[ss.block_idx] = jax.tree_util.tree_map(np.asarray, ss.params)
@@ -868,9 +888,9 @@ class BlockFleetTrainer:
                 slab=slab, coords_mode=cc.coords_mode, half=bool(cc.half),
                 vmax=st.batch.vmax)))
         # fetch only after every bucket's decode is dispatched (the device
-        # queue pipelines the K programs)
+        # queue pipelines the K programs); all-gather cross-process shards
         for st, out in pending:
-            out = np.asarray(out, np.float32)
+            out = np.asarray(all_addressable(out, self.mesh), np.float32)
             for i, bi in enumerate(st.block_idxs):
                 shape = blocks[bi]["data_norm"].shape
                 v = int(np.prod(shape[:-1]))

@@ -199,30 +199,41 @@ def compress_divide(opt, log, args=None) -> Dict:
     summary: Dict = {}
 
     def on_checkpoint(step, blks, per_block_params):
+        # multi-host runs: every process reaches this callback in lockstep
+        # (trainer.decode below is a collective over the mesh), but only
+        # process 0 touches the shared filesystem — the reference's
+        # children each wrote their own chunk dirs; one writer is the
+        # conflict-free equivalent for the SPMD fleet
+        import jax as _jax
+        is_main = _jax.process_index() == 0
         step_dir = opj(log.logdir, f"steps{step}")
         compressed = opj(step_dir, "compressed")
-        os.makedirs(compressed, exist_ok=True)
-        cfglib.save(orig_sideinfos, opj(compressed, "sideinfos.yaml"))
         module_dir = opj(compressed, "module")
         side_dir = opj(compressed, "sideinfos")
-        for blk, params in zip(blks, per_block_params):
-            csd = opj(side_dir, blk["name"])
-            os.makedirs(csd, exist_ok=True)
-            cfglib.save(blk["sideinfos"], opj(csd, "sideinfos.yaml"))
-            cmd = opj(module_dir, blk["name"], "module")
-            os.makedirs(os.path.dirname(cmd), exist_ok=True)
-            save_phi_module(blk["model"], params, cmd)
-        actual = get_folder_size(compressed)
-        theory = (get_folder_size(side_dir)
-                  + sum(b["theory_module_size"] for b in blks))
-        log.log_metrics({"compress_ratio/theory": orig_bytes / theory,
-                         "compress_ratio/actual": orig_bytes / actual}, step)
-        summary.update({"steps": step,
-                        "compress_ratio/theory": orig_bytes / theory,
-                        "compress_ratio/actual": orig_bytes / actual})
+        if is_main:
+            os.makedirs(compressed, exist_ok=True)
+            cfglib.save(orig_sideinfos, opj(compressed, "sideinfos.yaml"))
+            for blk, params in zip(blks, per_block_params):
+                csd = opj(side_dir, blk["name"])
+                os.makedirs(csd, exist_ok=True)
+                cfglib.save(blk["sideinfos"], opj(csd, "sideinfos.yaml"))
+                cmd = opj(module_dir, blk["name"], "module")
+                os.makedirs(os.path.dirname(cmd), exist_ok=True)
+                save_phi_module(blk["model"], params, cmd)
+            actual = get_folder_size(compressed)
+            theory = (get_folder_size(side_dir)
+                      + sum(b["theory_module_size"] for b in blks))
+            log.log_metrics({"compress_ratio/theory": orig_bytes / theory,
+                             "compress_ratio/actual": orig_bytes / actual},
+                            step)
+            summary.update({"steps": step,
+                            "compress_ratio/theory": orig_bytes / theory,
+                            "compress_ratio/actual": orig_bytes / actual})
 
         if cf_opt.Compress.decompress:
             decoded = trainer.decode(blks, cf_opt.Compress, cf_opt.Decompress)
+            if not is_main:
+                return
             merged_chunks = []
             for blk, dec_norm in zip(blks, decoded):
                 dec = invnormalize_data(dec_norm, blk["sideinfos"],

@@ -53,6 +53,33 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def host_to_global(arr, sharding):
+    """Place a host array onto a (possibly multi-process) sharding.
+
+    Single-process: plain device_put.  Multi-process (jax.distributed):
+    every process holds the full host value (each host reads the volume
+    itself — the reference's shared-filesystem hand-off,
+    /root/reference/main.py:547-575) and contributes its addressable
+    shards from it."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def all_addressable(tree, mesh: Mesh):
+    """Make every leaf of a (possibly cross-process sharded) pytree fully
+    addressable on every process by resharding to replicated — a
+    jit-compiled identity whose out_sharding inserts the all-gather over
+    ICI.  Single-process trees pass through untouched (their shards are
+    already addressable; no copy)."""
+    if jax.process_count() == 1:
+        return tree
+    rep = NamedSharding(mesh, P())
+    return jax.jit(lambda t: t, out_shardings=rep)(tree)
+
+
 def multihost_init(coordinator: Optional[str] = None,
                    num_processes: Optional[int] = None,
                    process_id: Optional[int] = None) -> None:
