@@ -1,13 +1,16 @@
-"""Archive I/O: zip containers, 7z-style solid compression, and the
+"""Archive I/O: zip containers, genuine .7z (libarchive), and the
 binary+yaml bundle used for entropy-coded payloads.
 
 Capability parity: reference utils/io.py:216-313 (write_zip/read_zip,
 write_7z/extract_7z/read_7z with BZIP2/LZMA/ZSTD filter presets,
-write_binary_yaml_zip/read_binary_yaml_zip).  py7zr is not available in this
-image, so the "7z" paths use the standard library's LZMA/BZip2 codecs over a
-tar-like flat container — same capability (solid recompression of saved
-modules), different container magic.  The method names mirror the
-reference's SEVENZFILTER presets (utils/io.py:18-23).
+write_binary_yaml_zip/read_binary_yaml_zip).  py7zr is not available in
+this image; the 7z paths run through the system libarchive instead
+(io/sevenzip.py, ctypes) — genuine reference-produced .7z archives read
+correctly and archives written here open in 7-Zip/py7zr.  When libarchive
+is absent, writing falls back to the legacy B7Z1 container (stdlib
+LZMA/BZip2 codecs over a flat index) and reading a genuine .7z fails
+loudly with guidance; read_7z dispatches on the container magic either
+way, so B7Z1 archives from earlier builds keep reading.
 """
 from __future__ import annotations
 
@@ -74,7 +77,19 @@ def write_7z(file_path_list: List[str], save_path: str,
              arcname_list=None, method: str = "default") -> None:
     """Solid-compress files/dirs into one archive
     (reference utils/io.py:268-277).  arcname_list may be a list or a single
-    string applied to the first entry, like the reference's usage."""
+    string applied to the first entry, like the reference's usage.
+
+    Writes a GENUINE .7z via libarchive when available (interops with the
+    reference's py7zr reader and with 7-Zip); falls back to the legacy
+    B7Z1 container otherwise."""
+    from brief_pytorch_tpu.io import sevenzip
+    if sevenzip.available():
+        method_map = {"default": "default", "lzma2_7": "default",
+                      "lzma": "lzma", "bzip2_7": "bzip2", "bzip2": "bzip2",
+                      "zstd_7": "zstd", "zstd": "zstd"}
+        sevenzip.write_7z(file_path_list, save_path, arcname_list,
+                          method_map.get(method, "default"))
+        return
     if arcname_list is None:
         arcname_list = [None] * len(file_path_list)
     if isinstance(arcname_list, str):
@@ -106,10 +121,9 @@ _REAL_7Z_MAGIC = b"7z\xbc\xaf\x27\x1c"   # genuine .7z container signature
 def read_7z(file_path: str) -> Dict[str, _io.BytesIO]:
     """arcname -> BytesIO (reference utils/io.py:282-287 contract).
 
-    Format note: this is the B7Z1 container (version 1) documented in the
-    module docstring, NOT the real 7-Zip format — py7zr is unavailable in
-    this image.  A genuine .7z (e.g. produced by the reference's write_7z)
-    fails loudly with guidance instead of mis-parsing.
+    Dispatches on the container magic: genuine 7-Zip archives (including
+    ones produced by the reference's py7zr write_7z) go through libarchive
+    (io/sevenzip.py); the legacy B7Z1 container keeps its stdlib path.
     """
     with open(file_path, "rb") as f:
         magic = f.read(4)
@@ -117,11 +131,14 @@ def read_7z(file_path: str) -> Dict[str, _io.BytesIO]:
             with open(file_path, "rb") as g:
                 head6 = g.read(6)
             if head6 == _REAL_7Z_MAGIC:
+                from brief_pytorch_tpu.io import sevenzip
+                if sevenzip.available():
+                    return sevenzip.read_7z(file_path)
                 raise ValueError(
-                    f"{file_path} is a genuine 7-Zip archive; this build "
-                    "uses the B7Z1 container (py7zr is unavailable). "
-                    "Extract it externally (`7z x` or py7zr) and re-pack "
-                    "with write_7z, or read the extracted files directly.")
+                    f"{file_path} is a genuine 7-Zip archive and no "
+                    "libarchive is available to read it. Extract it "
+                    "externally (`7z x` or py7zr) and re-pack with "
+                    "write_7z, or read the extracted files directly.")
             raise ValueError(
                 f"{file_path} is not a brief-tpu B7Z1 archive "
                 f"(magic {magic!r}, expected {_MAGIC!r})")

@@ -179,19 +179,26 @@ def bench_streaming(n_iters=200):
     return bw
 
 
-def bench_sine_rate(which="fast", n_iters=400):
-    """Peak transcendental rate: a scanned elementwise sine over a
-    VMEM-friendly array — the irreducible cost basis for the contract's
-    ~46M sin/cos evals per step (the 'speed of light' calibration the
-    corrected bench.py roofline uses)."""
+def bench_sine_rate(which="fast", n_iters=200, par_k=16):
+    """Peak transcendental rate (compute-bound): par_k INDEPENDENT sine
+    evaluations per element per scan iteration over a VMEM-resident 1 MB
+    tile — independence gives the VPU full ILP (a dependent chain measures
+    pipeline latency, ~4x below throughput — measured), and the tiny tile
+    amortizes HBM to nothing.  This is the hardware ceiling bench.py's
+    fraction_of_sol uses: a sine-MLP training step cannot beat the rate at
+    which the VPU evaluates its (independent, batched) sines."""
     from brief_pytorch_tpu.ops.fast_math import fast_sin
     f = fast_sin if which == "fast" else jnp.sin
-    x = jnp.linspace(-30.0, 30.0, 512 * 1024).reshape(512, 1024)
+    x = jnp.linspace(-3.0, 3.0, 256 * 1024).reshape(256, 1024)
+    scales = [1.0 + 0.37 * i for i in range(par_k)]   # no CSE between evals
 
     @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
     def run(x, *, n):
         def step(x, _):
-            return f(x) + 1e-6, ()   # +eps keeps iterations non-idempotent
+            acc = x * 1e-6
+            for s in scales:
+                acc = acc + f(x * s)
+            return acc, ()
         x, _ = jax.lax.scan(step, x, None, length=n)
         return x
 
@@ -202,7 +209,7 @@ def bench_sine_rate(which="fast", n_iters=400):
         return state["x"][:1, :1]
 
     dt = timed(go)
-    rate = n_iters * x.size / dt
+    rate = n_iters * par_k * x.size / dt
     print(json.dumps({"variant": f"sine_rate_{which}",
                       "evals_per_sec_G": round(rate / 1e9, 2)}), flush=True)
     return rate
@@ -219,6 +226,10 @@ def main():
     data = jnp.asarray(np.random.default_rng(0)
                        .uniform(0, 1, SHAPE).astype(np.float32))
 
+    # informative only: microbenched per-eval rates are NOT a valid step
+    # ceiling (dependent chains measure latency; even independent-eval
+    # scans read ~2x below the effective in-step rate because backward
+    # reuses forward residuals) — see RESULTS.md "Attribution"
     bench_sine_rate("fast")
     bench_sine_rate("xla")
     bench_variant("nf_full_fastsine", layout="nf", act="fast",

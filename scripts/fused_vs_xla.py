@@ -6,7 +6,11 @@ Run on TPU:  python scripts/fused_vs_xla.py
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -47,8 +47,11 @@ def measure_torch():
     _stub("py7zr", FILTER_BZIP2=1, FILTER_LZMA=2, FILTER_ZSTD=3,
           SevenZipFile=object)
     _stub("tifffile", imread=None, imwrite=None)
-    _stub("omegaconf", OmegaConf=object, DictConfig=dict, ListConfig=list)
+    # omegaconf stub must be a PACKAGE (main.py pulls omegaconf.dictconfig)
+    _stub("omegaconf", OmegaConf=object, DictConfig=dict, ListConfig=list,
+          __path__=[])
     _stub("omegaconf.listconfig", ListConfig=list)
+    _stub("omegaconf.dictconfig", DictConfig=dict)
 
     class _EM(torch.nn.Module):
         def __init__(self, *a, **k):
@@ -56,6 +59,12 @@ def measure_torch():
     _stub("compressai")
     _stub("compressai.entropy_models", EntropyBottleneck=_EM,
           GaussianConditional=_EM)
+    _stub("prettytable", PrettyTable=object)
+    _stub("pynvml", nvmlInit=lambda: None)
+    _stub("skimage", __path__=[])
+    _stub("skimage.metrics", structural_similarity=None)
+    _stub("matplotlib", __path__=[])
+    _stub("matplotlib.pyplot")
     sys.path.insert(0, REF)
     try:
         import utils.Networks as refnet
