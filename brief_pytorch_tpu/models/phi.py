@@ -515,6 +515,9 @@ class MFNFourier(_MFN):
         return {"linear": linear, "output": out, "filters": filters}
 
     def apply(self, params, coords, compute_dtype=None):
+        # exact jnp.sin kept here (NOT fast_sin): MFN filter arguments scale
+        # with input_scale (reference default 256), which can exceed the
+        # fast path's validated |x| <~ 2e3 reduction range
         filt = [jnp.sin(_matmul(coords, f["w"], compute_dtype) + f["b"])
                 for f in params["filters"]]
         return self._apply_common(params, filt, compute_dtype)

@@ -22,6 +22,8 @@ from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from brief_pytorch_tpu.ops.fast_math import fast_sin
 import numpy as np
 
 from brief_pytorch_tpu.models.phi import init_linear, _matmul
@@ -148,7 +150,7 @@ def siren_forward_syn(layers: Sequence[Dict], coords: jnp.ndarray,
     h = coords
     for li, (lin, mod) in enumerate(zip(layers[:-1], mods)):
         z = _matmul(h, lin["w"], compute_dtype) + lin["b"]
-        h = jnp.sin((first_w0 if li == 0 else w0) * z)
+        h = fast_sin((first_w0 if li == 0 else w0) * z)
         m = jnp.moveaxis(mod, 1, -1)           # (n, *pc, dim_hidden)
         h = h * jax.nn.sigmoid(m)[..., None, :]
         h = h.astype(coords.dtype)
@@ -165,7 +167,7 @@ def siren_forward_syn_wocrop(layers: Sequence[Dict], coords: jnp.ndarray,
     h = coords
     for li, (lin, mod) in enumerate(zip(layers[:-1], mods)):
         z = _matmul(h, lin["w"], compute_dtype) + lin["b"]
-        h = jnp.sin((first_w0 if li == 0 else w0) * z)
+        h = fast_sin((first_w0 if li == 0 else w0) * z)
         h = h * jax.nn.sigmoid(mod)[:, None, :]
     out = layers[-1]
     return _matmul(h, out["w"], compute_dtype) + out["b"]

@@ -64,7 +64,9 @@ def chain_layer_specs(spec) -> LayerSpec:
 
 def _apply_act(h, act: str, w0: float):
     if act == "sine":
-        return jnp.sin(w0 * h)
+        # fast path lowers through Mosaic too (see ops/fast_math.py)
+        from brief_pytorch_tpu.ops.fast_math import fast_sin
+        return fast_sin(w0 * h)
     if act == "relu":
         return jnp.maximum(h, 0.0)
     if act == "sigmoid":
@@ -208,7 +210,8 @@ def make_pre_encode(spec):
         T = tuple(spec.encoder_cfg)
 
         def pre(coords):
+            from brief_pytorch_tpu.ops.fast_math import fast_sin
             t = jnp.asarray(T, coords.dtype)
-            return jnp.sin((2.0 * np.pi / t) * coords)
+            return fast_sin((2.0 * np.pi / t) * coords)
         return pre
     return lambda coords: coords
