@@ -151,6 +151,148 @@ WORKER_FLEET = textwrap.dedent("""
 """)
 
 
+WORKER_DIVIDE = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from brief_pytorch_tpu.core import config as cfglib
+    from brief_pytorch_tpu.parallel.mesh import multihost_init
+    from brief_pytorch_tpu.parallel.divide_runner import compress_divide
+    from brief_pytorch_tpu.utils.logger import MyLogger
+
+    coord, n_proc, pid, yaml_path, outdir = (sys.argv[1], int(sys.argv[2]),
+                                             int(sys.argv[3]), sys.argv[4],
+                                             sys.argv[5])
+    multihost_init(coordinator=coord, num_processes=n_proc, process_id=pid)
+    assert jax.process_count() == n_proc
+    opt = cfglib.load(yaml_path)
+    opt.Log.outputs_dir = outdir   # per-process dir; only pid 0 writes steps
+    log = MyLogger(**opt.Log.to_plain())
+    res = compress_divide(opt, log)
+    print(f"LOGDIR {log.logdir}")
+    print(f"SUMMARY psnr={res.get('psnr', -1):.6f}")
+""")
+
+
+@pytest.mark.skipif(os.environ.get("BRIEF_TPU_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_compress_divide_end_to_end(tmp_path, brain64_path):
+    """The FULL DivideTask pipeline (partition -> fleet training -> decode
+    -> merge -> artifacts) across a real 2-process boundary: process 0
+    writes the reference-layout artifacts, the decoded merged volume
+    matches the single-process run (the BASELINE multi-host north star is
+    a DivideTask fleet)."""
+    import numpy as np
+    import yaml as _yaml
+    from brief_pytorch_tpu.core import config as cfglib
+    from brief_pytorch_tpu.io.image import read_img
+    from brief_pytorch_tpu.parallel.divide_runner import compress_divide
+    from brief_pytorch_tpu.utils.logger import MyLogger
+
+    base_yaml = f"""
+Reproduc: {{seed: 42, benchmark: false, deterministic: true}}
+Dataset: {{data_path: "{brain64_path}"}}
+Log: {{outputs_dir: "PLACEHOLDER", project_name: mh, stdlog: false,
+      tensorboard: false, time: false}}
+CompressFramework:
+  Name: NFGR
+  Compress:
+    divide: {{divide_type: total_2_2_2, param_alloc: by_size,
+             param_size_thres: 26, exception: none}}
+    half: false
+    sampler: {{name: randompoint, cube_count: 1,
+              cube_len: [10000000,10000000,10000000], sample_size: 1024,
+              gpu_force: true}}
+    coords_mode: "-1,1"
+    preprocess:
+      denoise: {{level: 0, close: [2,2,2]}}
+      clip: [0, 65535]
+    param: {{init_net_path: none, filesize_ratio: 80, given_size: 0}}
+    loss: {{name: datal2, beta: 0.01, weight: [none], weight_thres: 0}}
+    gpu: true
+    max_steps: 40
+    checkpoints: none
+    loss_log_freq: 20
+    lr_phi: 0.001
+    optimizer_name_phi: Adamax
+    lr_scheduler_phi: {{name: none}}
+    decompress: true
+  Decompress:
+    sample_size: 4096
+    gpu: true
+    postprocess:
+      denoise: {{level: 0, close: [2,2,2]}}
+      clip: [0, 65535]
+    keep_decompressed: true
+    mip: false
+    mse: true
+    psnr: true
+    ssim: false
+  Module:
+    phi: {{name: SIREN, coords_channel: 3, data_channel: 1, layers: 4,
+          w0: 20, output_act: false, res: false}}
+  Normalize: {{name: minmaxany_0_100}}
+"""
+    # single-process truth on 4 virtual devices
+    opt = cfglib.loads(base_yaml)
+    opt.Log.outputs_dir = str(tmp_path / "single")
+    log = MyLogger(**opt.Log.to_plain())
+    compress_divide(opt, log)
+    want = read_img(os.path.join(
+        log.logdir, "steps40", "decompressed",
+        os.path.basename(brain64_path).replace(".tif",
+                                               "_decompressed.tif")))
+
+    yaml_path = tmp_path / "divide.yaml"
+    yaml_path.write_text(base_yaml)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker_divide.py"
+    script.write_text(WORKER_DIVIDE)
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coord, "2", str(pid), str(yaml_path),
+         str(tmp_path / f"proc{pid}")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
+    # process 0 wrote the full reference-layout artifacts...
+    logdir0 = [l for l in outs[0].splitlines()
+               if l.startswith("LOGDIR")][0].split(" ", 1)[1]
+    step = os.path.join(logdir0, "steps40")
+    mods = sorted(os.listdir(os.path.join(step, "compressed", "module")))
+    assert len(mods) == 8 and all(m.startswith("d_") for m in mods)
+    got = read_img(os.path.join(
+        step, "decompressed",
+        os.path.basename(brain64_path).replace(".tif",
+                                               "_decompressed.tif")))
+    # ...process 1 wrote none
+    logdir1 = [l for l in outs[1].splitlines()
+               if l.startswith("LOGDIR")][0].split(" ", 1)[1]
+    assert not os.path.isdir(os.path.join(logdir1, "steps40"))
+    # and the cross-process merged volume matches single-process (uint16
+    # LSB tolerance for float rounding across shard layouts)
+    assert got.shape == want.shape
+    assert np.max(np.abs(got.astype(np.int64) - want.astype(np.int64))) <= 1
+
+
 @pytest.mark.skipif(os.environ.get("BRIEF_TPU_SKIP_MULTIPROC") == "1",
                     reason="multi-process test disabled")
 def test_two_process_block_fleet_matches_single_process(tmp_path):
