@@ -59,7 +59,8 @@ from brief_pytorch_tpu.core.coords import (axes_to_coords, flat_to_axes24,
 from brief_pytorch_tpu.models.phi import (ChainSpec, _ChainModel, _act,
                                           _encode)
 from brief_pytorch_tpu.parallel.mesh import (all_addressable, block_sharding,
-                                             host_to_global, make_mesh)
+                                             block_submesh, host_to_global,
+                                             make_mesh)
 from brief_pytorch_tpu.train.loss import make_loss
 from brief_pytorch_tpu.train.optim import make_optimizer
 from brief_pytorch_tpu.train.samplers import (RandomCubeSampler,
@@ -502,6 +503,7 @@ class _BucketState:
     tx: object
     key: object
     thres: object                      # (B,) per-block normalized thresholds
+    mesh: object = None                # this bucket's (sub-)mesh
     use_thres: bool = True
     sampler_name: str = "randompoint"  # effective: randompoint|randomcube|fullbatch
     cube_len: Tuple[int, ...] = ()     # clipped, static per bucket
@@ -548,14 +550,61 @@ class BlockFleetTrainer:
     Bucket segments are dispatched asynchronously (no host sync between
     buckets), so the device queue pipelines K bucket programs back-to-back;
     the only sync per checkpoint interval is the final loss fetch.
+
+    SMALL buckets (fewer blocks than mesh shards) are packed onto disjoint
+    device sub-meshes (_plan_meshes) so they execute concurrently instead
+    of serially-with-cloned-pad-slots, and solo blocks round-robin over
+    local devices — the in-process analogue of the reference scheduler
+    fitting several small tasks onto one GPU simultaneously
+    (utils/TasksManager.py:222-251).
     """
 
-    def __init__(self, mesh=None, seed: int = 42):
+    def __init__(self, mesh=None, seed: int = 42,
+                 pack_small_buckets: bool = True):
         self.mesh = mesh if mesh is not None else make_mesh(
             n_block_shards=len(jax.devices()))
         self.seed = seed
+        self.pack_small_buckets = pack_small_buckets
         self._states: List[_BucketState] = []
         self._solo: List[_SoloState] = []
+
+    def _plan_meshes(self, bucket_lists: List[List[int]]) -> List:
+        """Assign each bucket a mesh: FULL buckets (B >= mesh shards) get
+        the whole mesh; SMALL buckets (B < shards) are first-fit-decreasing
+        packed onto disjoint device sub-meshes of exactly B devices each, so
+        several tiny buckets execute CONCURRENTLY (async dispatch onto
+        disjoint device queues) with zero cloned pad slots, instead of
+        serialising on the whole mesh at B/shards occupancy.  Buckets that
+        overflow one 'wave' of devices wrap to offset 0 — device reuse
+        serialises them naturally in dispatch order.
+
+        Multi-process meshes keep whole-mesh placement: every process must
+        participate in every program it owns devices in, and a sub-mesh
+        excluding some process's devices would desynchronise the SPMD
+        program sequence across hosts."""
+        D = int(np.prod(self.mesh.devices.shape))
+        whole = [(idxs, self.mesh) for idxs in bucket_lists]
+        if (not self.pack_small_buckets or D == 1
+                or jax.process_count() > 1):
+            return whole
+        small = [(i, len(idxs)) for i, idxs in enumerate(bucket_lists)
+                 if len(idxs) < D]
+        if len(small) < 2:
+            return whole
+        plans: List = list(whole)
+        waves: List[int] = []      # per-wave next-free device offset
+        for i, B in sorted(small, key=lambda t: -t[1]):
+            start = None
+            for w, off in enumerate(waves):
+                if off + B <= D:
+                    start, waves[w] = off, off + B
+                    break
+            if start is None:
+                waves.append(B)
+                start = 0
+            plans[i] = (bucket_lists[i],
+                        block_submesh(self.mesh, start, B))
+        return plans
 
     def train(self, blocks: List[Dict], compress_cfg, max_steps: int,
               checkpoint_cb=None, checkpoints: Optional[List[int]] = None,
@@ -594,10 +643,12 @@ class BlockFleetTrainer:
             sig = (type(m).__name__, _stack_signature(m.spec), eff_sampler,
                    clipped if eff_sampler == "randomcube" else ())
             buckets.setdefault(sig, []).append(i)
-        self._states = [self._prepare_bucket(blocks, idxs, cc)
-                        for idxs in buckets.values()]
-        self._solo = [self._prepare_solo(blocks, i, cc, max_steps)
-                      for i in solo_idxs]
+        self._states = [self._prepare_bucket(blocks, idxs, cc, mesh=m)
+                        for idxs, m in self._plan_meshes(
+                            list(buckets.values()))]
+        self._solo = [self._prepare_solo(blocks, i, cc, max_steps,
+                                         solo_slot=k)
+                      for k, i in enumerate(solo_idxs)]
 
         ckpts = checkpoints or [max_steps]
         step = 0
@@ -616,7 +667,7 @@ class BlockFleetTrainer:
                         # losses are sharded over 'blocks' (cross-process on
                         # a multi-host mesh): all-gather before fetching
                         last = np.asarray(all_addressable(
-                            losses[-1], self.mesh))[:len(st.models)]
+                            losses[-1], st.mesh))[:len(st.models)]
                         for bi, lv in zip(st.block_idxs, last):
                             per_block[bi] = lv
                     for ss, losses in solo_pending:
@@ -632,8 +683,9 @@ class BlockFleetTrainer:
             blk["params"] = p
         return blocks
 
-    def _prepare_bucket(self, blocks: List[Dict], idxs: List[int], cc
-                        ) -> _BucketState:
+    def _prepare_bucket(self, blocks: List[Dict], idxs: List[int], cc,
+                        mesh=None) -> _BucketState:
+        mesh = mesh if mesh is not None else self.mesh
         sub = [blocks[i] for i in idxs]
         models = [b["model"] for b in sub]
         spec, params_layers, masks, enc = build_stacked(
@@ -659,8 +711,9 @@ class BlockFleetTrainer:
 
         # pad the block axis to a multiple of the mesh's block shards
         # (an SPMD axis must divide evenly; padded entries clone block 0 and
-        # are dropped by unstack/decode, which read only the first B rows)
-        nshards = int(self.mesh.shape["blocks"])
+        # are dropped by unstack/decode, which read only the first B rows).
+        # Packed small buckets arrive with a B-device sub-mesh → no clones.
+        nshards = int(mesh.shape["blocks"])
         B = len(sub)
         target = ((B + nshards - 1) // nshards) * nshards
         pad = lambda x: jnp.concatenate(
@@ -696,7 +749,7 @@ class BlockFleetTrainer:
         # value (shared-filesystem hand-off, like the reference's children,
         # main.py:547-575) and contributes only its addressable shards —
         # the fleet trains across process boundaries (VERDICT r2 item 1)
-        bs = block_sharding(self.mesh)
+        bs = block_sharding(mesh)
         put = lambda tree: jax.tree_util.tree_map(
             lambda x: host_to_global(np.asarray(x), bs), tree)
         return _BucketState(
@@ -711,12 +764,13 @@ class BlockFleetTrainer:
             valid=put(batch.valid),
             shapes=put(batch.shapes),
             tx=tx, key=jax.random.PRNGKey(self.seed + 1),
-            thres=put(thres_arr),
+            thres=put(thres_arr), mesh=mesh,
             use_thres=bool(np.any(thres_host != 0.0)),
             sampler_name=sampler_name, cube_len=cube_len)
 
     def _prepare_solo(self, blocks: List[Dict], idx: int, cc,
-                      fleet_max_steps: int) -> _SoloState:
+                      fleet_max_steps: int, solo_slot: int = 0
+                      ) -> _SoloState:
         blk = blocks[idx]
         scc = blk.get("solo_cfg") or cc
         model = blk["model"]
@@ -730,10 +784,14 @@ class BlockFleetTrainer:
                           "layers": [{k: jnp.asarray(v)
                                       for k, v in l.items()} for l in warm]}
         # local_devices: on a multi-process mesh every process trains its
-        # solo blocks redundantly on its own first device (identical
+        # solo blocks redundantly on its own LOCAL devices (identical
         # deterministic math — same keys, same data), so the whole fleet's
-        # params exist on every process without any cross-host traffic
-        params = jax.device_put(params, jax.local_devices()[0])
+        # params exist on every process without any cross-host traffic.
+        # Solo blocks round-robin over local devices so several solo
+        # programs execute concurrently (async dispatch, disjoint queues).
+        local = jax.local_devices()
+        dev = local[solo_slot % len(local)]
+        params = jax.device_put(params, dev)
         spatial = tuple(int(s) for s in blk["data_norm"].shape[:-1])
         c = blk["data_norm"].shape[-1]
         mode = scc.coords_mode
@@ -743,15 +801,16 @@ class BlockFleetTrainer:
                             zip(scc.sampler.cube_len, spatial))
             sampler = RandomCubeSampler(spatial, mode,
                                         int(scc.sampler.cube_count), clipped)
-            dev_data = jnp.asarray(blk["data_norm"])
-            dev_weight = None if unit_weight else jnp.asarray(blk["weight"])
+            dev_data = jax.device_put(blk["data_norm"], dev)
+            dev_weight = None if unit_weight \
+                else jax.device_put(blk["weight"], dev)
             cps = sampler.cube_count * int(np.prod(clipped))
         else:
             sampler = RandomPointSampler(spatial, mode,
                                          int(scc.sampler.sample_size))
-            dev_data = jnp.asarray(blk["data_norm"].reshape(-1, c))
+            dev_data = jax.device_put(blk["data_norm"].reshape(-1, c), dev)
             dev_weight = None if unit_weight \
-                else jnp.asarray(blk["weight"].reshape(-1, c))
+                else jax.device_put(blk["weight"].reshape(-1, c), dev)
             cps = sampler.sample_size
         tx = make_optimizer(scc.optimizer_name_phi, float(scc.lr_phi),
                             scc.lr_scheduler_phi)
@@ -855,6 +914,12 @@ class BlockFleetTrainer:
                 # fraction of block slots that are real blocks — sampled
                 # (randompoint/randomcube) compute scales with slots
                 "slot_occupancy": B_real / B_padded,
+                # devices this bucket's programs actually run on; packed
+                # small buckets span disjoint sub-meshes and run
+                # concurrently with each other
+                "devices": int(np.prod(st.mesh.devices.shape)),
+                "device_ids": [d.id for d in
+                               st.mesh.devices.reshape(-1).tolist()],
             })
         return out
 
@@ -865,8 +930,8 @@ class BlockFleetTrainer:
         full fleet, like every reference child sees the shared FS)."""
         out: List[Optional[Dict]] = [None] * len(blocks)
         for st in self._states:
-            params_h = all_addressable(st.params, self.mesh)
-            enc_h = all_addressable(st.enc, self.mesh) if st.enc else st.enc
+            params_h = all_addressable(st.params, st.mesh)
+            enc_h = all_addressable(st.enc, st.mesh) if st.enc else st.enc
             for bi, p in zip(st.block_idxs,
                              unstack_params(params_h, st.models, enc_h)):
                 out[bi] = p
@@ -890,7 +955,7 @@ class BlockFleetTrainer:
         # fetch only after every bucket's decode is dispatched (the device
         # queue pipelines the K programs); all-gather cross-process shards
         for st, out in pending:
-            out = np.asarray(all_addressable(out, self.mesh), np.float32)
+            out = np.asarray(all_addressable(out, st.mesh), np.float32)
             for i, bi in enumerate(st.block_idxs):
                 shape = blocks[bi]["data_norm"].shape
                 v = int(np.prod(shape[:-1]))

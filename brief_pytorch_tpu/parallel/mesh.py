@@ -44,6 +44,17 @@ def block_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("blocks"))
 
 
+def block_submesh(mesh: Mesh, start: int, size: int) -> Mesh:
+    """A ('blocks', 'data') mesh over `size` consecutive devices of `mesh`
+    (blocks-major order).  Programs dispatched onto disjoint sub-meshes run
+    CONCURRENTLY (each device executes its own queue), which is how several
+    small block buckets share one chip-mesh instead of serialising — the
+    TPU analogue of the reference scheduler packing several small-block
+    processes onto one GPU at once (utils/TasksManager.py:222-251)."""
+    devs = mesh.devices.reshape(-1)[start:start + size]
+    return Mesh(np.array(devs).reshape(size, 1), ("blocks", "data"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

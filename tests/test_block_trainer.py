@@ -400,6 +400,79 @@ lr_scheduler_phi: {name: none}
         assert all(d.shape == (6, 6, 6, 1) for d in decoded)
 
 
+class TestSubmeshPacking:
+    """Small buckets (B < mesh shards) pack onto disjoint device sub-meshes
+    and run concurrently; the math must stay bit-identical to whole-mesh
+    (cloned-pad-slot) placement."""
+
+    def _blocks(self, specs, seed=3):
+        rng = np.random.default_rng(seed)
+        out = []
+        for i, (layers, f) in enumerate(specs):
+            vol = rng.uniform(0, 100, (6, 6, 6, 1)).astype(np.float32)
+            out.append({
+                "name": f"b{i}", "data_norm": vol,
+                "weight": np.ones_like(vol),
+                "model": init_phi({"name": "SIREN", **{**BASE,
+                                   "layers": layers}, "features": f}),
+                "sideinfos": {}, "weight_thres_norm": 0.0})
+        return out
+
+    def _cc(self):
+        return TestFleetTraining._cc(None)
+
+    def test_small_buckets_get_disjoint_submeshes(self):
+        assert len(jax.devices()) == 8
+        # three buckets (distinct layer counts) of sizes 3 / 2 / 2 — all
+        # smaller than the 8-shard mesh
+        specs = ([(3, 8)] * 3) + ([(4, 8)] * 2) + ([(5, 8)] * 2)
+        blocks = self._blocks(specs)
+        trainer = BlockFleetTrainer(seed=0)
+        trainer.train(blocks, self._cc(), max_steps=4, checkpoints=[4])
+        stats = trainer.fleet_stats()
+        assert len(stats) == 3
+        # no cloned pad slots, one device per block
+        assert all(s["slot_occupancy"] == 1.0 for s in stats)
+        assert sorted(s["devices"] for s in stats) == [2, 2, 3]
+        used = [d for s in stats for d in s["device_ids"]]
+        assert len(used) == len(set(used)) == 7, used
+
+    def test_packed_training_bit_identical_to_whole_mesh(self):
+        specs = ([(3, 8), (3, 12)] + [(4, 10)] * 3)
+        cc = self._cc()
+        losses = {}
+
+        def run(pack):
+            blocks = self._blocks(specs)
+            tr = BlockFleetTrainer(seed=0, pack_small_buckets=pack)
+            tr.train(blocks, cc, max_steps=25, checkpoints=[25],
+                     progress_cb=lambda s, l: losses.setdefault(pack, l))
+            return tr.decode(blocks, cc, None)
+
+        packed, whole = run(True), run(False)
+        np.testing.assert_array_equal(losses[True], losses[False])
+        for a, b in zip(packed, whole):
+            np.testing.assert_array_equal(a, b)
+
+    def test_solo_blocks_round_robin_devices(self):
+        rng = np.random.default_rng(0)
+        blocks = []
+        for i in range(3):
+            vol = rng.uniform(0, 1, (5, 5, 5, 1)).astype(np.float32)
+            blocks.append({"name": f"mfn{i}", "data_norm": vol,
+                           "weight": np.ones_like(vol),
+                           "model": init_phi(
+                               {"name": "MFNFourier", "coords_channel": 3,
+                                "data_channel": 1, "features": 8,
+                                "layers": 3}),
+                           "sideinfos": {}, "weight_thres_norm": 0.0})
+        trainer = BlockFleetTrainer(seed=0)
+        trainer.train(blocks, self._cc(), max_steps=3, checkpoints=[3])
+        devs = [next(iter(ss.dev_data.devices())).id
+                for ss in trainer._solo]
+        assert len(set(devs)) == 3, devs
+
+
 class TestBlockBatch:
     def test_padding_and_valid_counts(self):
         rng = np.random.default_rng(0)

@@ -74,14 +74,21 @@ def test_96_block_heterogeneous_fleet():
 
 
 def test_slot_occupancy_accounting():
-    """A bucket of 3 blocks on an 8-shard mesh pads 5 clone slots; the
-    stats must expose that so operators see the waste."""
+    """Small buckets pack onto sub-meshes at full occupancy; with packing
+    disabled, a bucket of 3 blocks on an 8-shard mesh pads 5 clone slots
+    and the stats must expose that waste."""
     blocks = _make_fleet(9)   # 3 per family -> 3 buckets of 3
     mesh = make_mesh()
     trainer = BlockFleetTrainer(mesh=mesh, seed=0)
     trainer.train(blocks, _cc(), max_steps=2, checkpoints=[2])
     stats = trainer.fleet_stats()
     assert len(stats) == 3
-    for s in stats:
+    for s in stats:   # packed: 3-device sub-mesh, no clone slots
+        assert s["blocks"] == 3 and s["padded_blocks"] == 3
+        assert s["slot_occupancy"] == 1.0 and s["devices"] == 3
+    blocks = _make_fleet(9)
+    trainer = BlockFleetTrainer(mesh=mesh, seed=0, pack_small_buckets=False)
+    trainer.train(blocks, _cc(), max_steps=2, checkpoints=[2])
+    for s in trainer.fleet_stats():
         assert s["blocks"] == 3 and s["padded_blocks"] == 8
         assert abs(s["slot_occupancy"] - 3 / 8) < 1e-9
