@@ -95,7 +95,7 @@ def _time_segment(fn, n_steps):
 
 def bench_single(features_override=None, sampler_kind="randomcube",
                  metric="train_coords_per_sec_per_chip", n_steps=2000,
-                 sample_size=100_000):
+                 sample_size=100_000, vector_len=1):
     import jax
     import jax.numpy as jnp
     from brief_pytorch_tpu.core.normalize import normalize_data
@@ -130,7 +130,8 @@ def bench_single(features_override=None, sampler_kind="randomcube",
         dev_weight = jnp.ones_like(dev_data)
         coords_per_step = 64 * 64 * 64
     else:
-        sampler = RandomPointSampler((64, 64, 64), "-1,1", sample_size)
+        sampler = RandomPointSampler((64, 64, 64), "-1,1", sample_size,
+                                     vector_len)
         dev_data = jnp.asarray(data_norm.reshape(-1, 1))
         dev_weight = jnp.ones_like(dev_data)
         coords_per_step = sample_size
@@ -255,6 +256,12 @@ def main():
     if args.all:
         bench_single(features_override=22, sampler_kind="randompoint",
                      metric="narrow_f22_coords_per_sec_per_chip")
+        # vectorised randompoint (sampler.vector_len=32): batched 32-wide
+        # slice gathers instead of 100k serial single-voxel loads — the
+        # opt-in answer to the narrow class's measured gather bound
+        bench_single(features_override=22, sampler_kind="randompoint",
+                     metric="narrow_f22_vec32_coords_per_sec_per_chip",
+                     vector_len=32)
         bench_single(features_override=256, sampler_kind="randompoint",
                      metric="wide_f256_coords_per_sec_per_chip")
         bench_fleet()

@@ -31,6 +31,9 @@ class SamplerOpt:
     cube_len: List[int] = field(default_factory=lambda: [1e7, 1e7, 1e7])
     sample_size: int = 100000
     gpu_force: bool = True
+    # randompoint only: draw sample_size/L contiguous L-voxel runs instead
+    # of L=1 iid voxels (vectorised gather; see train/samplers.py)
+    vector_len: int = 1
 
 
 @dataclass

@@ -222,8 +222,9 @@ class NFGR:
         mode = self.opt.Compress.coords_mode
         dev_data = dev_weight = None
         if self.opt.Compress.sampler.name == "randompoint":
-            sampler = RandomPointSampler(spatial, mode,
-                                         int(self.opt.Compress.sampler.sample_size))
+            sampler = RandomPointSampler(
+                spatial, mode, int(self.opt.Compress.sampler.sample_size),
+                int(self.opt.Compress.sampler.get("vector_len", 1) or 1))
             c = data_norm.shape[-1]
             if data_shards <= 1:
                 dev_data = jnp.asarray(data_norm.reshape(-1, c))

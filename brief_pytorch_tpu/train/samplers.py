@@ -32,10 +32,25 @@ from brief_pytorch_tpu.core.coords import index_to_coords
 @dataclass(frozen=True)
 class RandomPointSampler:
     """Uniform random voxel batches (reference RandompointSampler,
-    main.py:126-163)."""
+    main.py:126-163).
+
+    vector_len=1 (default) draws sample_size independent voxels — the
+    reference's exact semantics.  vector_len=L>1 draws sample_size/L
+    random CONTIGUOUS runs of L voxels instead (config
+    Compress.sampler.vector_len): the per-step value gather becomes a
+    batched L-wide slice fetch (vmapped dynamic_slice -> lax.gather with
+    L-element slices) instead of sample_size serial single-voxel loads —
+    the TPU gather pipeline is the measured bound of the narrow
+    randompoint shape class (RESULTS.md).  The draw stays marginally
+    uniform except within L-1 voxels of the two ends of the flattened
+    volume (run starts are clamped to [0, pop-L]); samples within a run
+    are spatially adjacent, i.e. step batches are slightly correlated —
+    an opt-in, documented divergence from the reference's iid draw.
+    """
     spatial_shape: Tuple[int, ...]   # (d, h, w) or (h, w)
     coords_mode: str
     sample_size: int
+    vector_len: int = 1
 
     def sample(self, key, data_flat: jnp.ndarray, weight_flat):
         """data_flat/weight_flat: (pop, c).  Returns (coords, values, weights).
@@ -43,12 +58,26 @@ class RandomPointSampler:
         weight_flat None means unit weights (all-ones volumes skip the
         second gather — the step is gather-bound at INR sizes)."""
         pop = data_flat.shape[0]
-        idx = jax.random.randint(key, (self.sample_size,), 0, pop)
+        L = int(self.vector_len)
+        if L <= 1:
+            idx = jax.random.randint(key, (self.sample_size,), 0, pop)
+            vals = data_flat[idx]
+            wts = weight_flat[idx] if weight_flat is not None \
+                else jnp.ones_like(vals)
+        else:
+            c = data_flat.shape[1]
+            n_runs = -(-self.sample_size // L)
+            starts = jax.random.randint(key, (n_runs,), 0,
+                                        max(1, pop - L + 1))
+            slice_of = lambda arr: jax.vmap(
+                lambda s: jax.lax.dynamic_slice(arr, (s, 0), (L, c)))(starts)
+            idx = ((starts[:, None] + jnp.arange(L)[None, :])
+                   .reshape(-1)[:self.sample_size])
+            vals = slice_of(data_flat).reshape(-1, c)[:self.sample_size]
+            wts = slice_of(weight_flat).reshape(-1, c)[:self.sample_size] \
+                if weight_flat is not None else jnp.ones_like(vals)
         coords = index_to_coords(idx, self.spatial_shape, self.coords_mode,
                                  data_flat.dtype)
-        vals = data_flat[idx]
-        wts = weight_flat[idx] if weight_flat is not None \
-            else jnp.ones_like(vals)
         return coords, vals, wts
 
 

@@ -1,0 +1,94 @@
+"""train/samplers.py: vectorised randompoint run draws (vector_len > 1).
+
+The L=1 default is the reference's iid draw (covered by the oracle and
+e2e tests); L>1 swaps the serial single-voxel gather for batched L-wide
+slice fetches and must stay value-exact and marginally uniform away from
+the flat-array ends.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from brief_pytorch_tpu.core.coords import index_to_coords
+from brief_pytorch_tpu.train.samplers import RandomPointSampler
+
+
+def _data(pop=4096, c=1, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(0, 1, (pop, c)).astype(np.float32))
+
+
+def test_vectorised_values_match_indices():
+    """Values/weights must be the data at exactly the coord-derived
+    indices, for run lengths that divide and don't divide sample_size."""
+    data = _data()
+    weight = _data(seed=1)
+    for L in (8, 48, 128):
+        s = RandomPointSampler((16, 16, 16), "-1,1", 1000, vector_len=L)
+        coords, vals, wts = s.sample(jax.random.PRNGKey(3), data, weight)
+        assert coords.shape == (1000, 3) and vals.shape == (1000, 1)
+        # recover flat indices from coords ("-1,1" linspace is invertible
+        # on the voxel grid)
+        axes = np.round((np.asarray(coords) + 1) / 2 * 15).astype(np.int64)
+        idx = axes[:, 0] * 256 + axes[:, 1] * 16 + axes[:, 2]
+        np.testing.assert_array_equal(np.asarray(vals)[:, 0],
+                                      np.asarray(data)[idx, 0])
+        np.testing.assert_array_equal(np.asarray(wts)[:, 0],
+                                      np.asarray(weight)[idx, 0])
+        # runs are contiguous in flat order
+        assert np.all(np.diff(idx.reshape(-1, L) if 1000 % L == 0 else
+                              idx[: (1000 // L) * L].reshape(-1, L),
+                              axis=1) == 1)
+
+
+def test_vectorised_default_is_reference_draw():
+    """vector_len=1 must keep the exact historical randint draw."""
+    data = _data()
+    a = RandomPointSampler((16, 16, 16), "-1,1", 500)
+    b = RandomPointSampler((16, 16, 16), "-1,1", 500, vector_len=1)
+    key = jax.random.PRNGKey(7)
+    ca, va, _ = a.sample(key, data, None)
+    cb, vb, _ = b.sample(key, data, None)
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_vectorised_marginal_coverage_bound():
+    """Exact combinatorial marginal: voxel v is covered by the runs
+    starting in [max(0, v-L+1), min(v, pop-L)] — uniform (L covers) for
+    every interior voxel, depressed only within L-1 voxels of the two flat
+    ends.  No sampling noise: computed in closed form."""
+    pop, L = 4096, 64
+    v = np.arange(pop)
+    covers = np.minimum(v, pop - L) - np.maximum(0, v - L + 1) + 1
+    interior = covers[L - 1: pop - L + 1]
+    assert np.all(interior == L)
+    assert covers.min() == 1 and covers.max() == L
+    # the depressed mass is tiny: < 2 * L^2 / (2 * L * pop) = L/pop
+    deficit = (L - covers).sum() / (L * pop)
+    assert deficit < L / pop < 0.016
+
+
+def test_vectorised_training_reduces_loss():
+    """run_segment with a vectorised sampler trains end-to-end."""
+    from brief_pytorch_tpu.models.phi import init_phi
+    from brief_pytorch_tpu.train.fit import run_segment
+    from brief_pytorch_tpu.train.optim import make_optimizer
+
+    g = np.linspace(-1, 1, 16)
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    vol = (np.sin(3 * zz) + np.cos(2 * yy) * xx).astype(np.float32)[..., None]
+    data = jnp.asarray(vol.reshape(-1, 1))
+    model = init_phi({"name": "SIREN", "coords_channel": 3,
+                      "data_channel": 1, "layers": 4, "features": 16,
+                      "w0": 20, "res": False})
+    params = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer("Adamax", 1e-3, None)
+    sampler = RandomPointSampler((16, 16, 16), "-1,1", 512, vector_len=32)
+    params, _, losses = run_segment(
+        params, tx.init(params), data, None, jax.random.PRNGKey(1),
+        weight_thres=0.0, model=model, sampler=sampler, tx=tx,
+        loss_name="datal2", beta=0.01, n_steps=150, half=False)
+    losses = np.asarray(losses)
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
