@@ -340,20 +340,36 @@ def cube_gather_indices(key, shape_vec, cube_len: Tuple[int, ...],
     return jnp.sum(pos * strides[None, None, :], axis=-1).reshape(-1)
 
 
+def vector_run_starts(key, shape_vec, L: int, n_runs: int) -> jnp.ndarray:
+    """(n_runs, ndim) start positions for runs of L voxels contiguous along
+    the LAST axis (fleet form of samplers.RandomPointSampler vector_len).
+
+    Runs must not cross rows — the fleet's per-voxel index math is
+    multiplies-only (see the NOTE in run_block_segment), and a row-crossing
+    run would need a traced-divisor decomposition — so last-axis starts are
+    clamped to [0, W-L].  shape_vec may be traced (per-vmapped-block)."""
+    ndim = shape_vec.shape[0]
+    u = jax.random.uniform(key, (n_runs, ndim))
+    lim = shape_vec - jnp.asarray([0] * (ndim - 1) + [L - 1],
+                                  shape_vec.dtype)
+    return jnp.minimum((u * lim.astype(u.dtype)).astype(jnp.int32), lim - 1)
+
+
 # --------------------------------------------------------------------------
 # vmapped training
 # --------------------------------------------------------------------------
 @partial(jax.jit,
          static_argnames=("spec", "tx", "loss_name", "beta", "use_thres",
                           "n_steps", "sample_size", "coords_mode", "half",
-                          "sampler", "cube_count", "cube_len"),
+                          "sampler", "cube_count", "cube_len", "vector_len"),
          donate_argnums=(0, 1))
 def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
                       valid, shapes, thres, key, *, spec: StackedChainSpec,
                       tx, loss_name: str, beta: float, use_thres: bool,
                       n_steps: int, sample_size: int, coords_mode: str,
                       half: bool, sampler: str = "randompoint",
-                      cube_count: int = 1, cube_len: Tuple[int, ...] = ()):
+                      cube_count: int = 1, cube_len: Tuple[int, ...] = (),
+                      vector_len: int = 1):
     """n_steps of simultaneous training for all B blocks (one scan).
 
     Each step vmaps sample+forward+backward+update over the block axis;
@@ -393,6 +409,33 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
                 else jnp.ones_like(vals)
             sample_valid = None
             axes = pos.reshape(-1, ndim)
+        elif vector_len > 1:
+            # vectorised randompoint (Compress.sampler.vector_len, see
+            # train/samplers.py): draw sample_size/L runs of L voxels
+            # contiguous along the LAST axis (runs must not cross rows —
+            # the per-axis index math below is multiplies-only, and a
+            # row-crossing run would need a traced-divisor decomposition).
+            # The value gather becomes vmapped dynamic_slice (batched
+            # L-wide slice fetches) instead of serial single-voxel loads.
+            # Run starts are clamped to [0, W-L] per row, so the marginal
+            # is uniform except within L-1 voxels of each row's ends.
+            L = vector_len
+            c = data.shape[2]
+            n_runs = -(-sample_size // L)
+            starts = vector_run_starts(key_b, shape_b, L, n_runs)
+            offs = jnp.zeros((L, ndim), jnp.int32).at[:, ndim - 1].set(
+                jnp.arange(L))
+            axes = (starts[:, None, :] + offs[None, :, :]
+                    ).reshape(-1, ndim)[:sample_size]
+            strides = row_major_strides(shape_b)
+            flat_start = jnp.sum(starts * strides, axis=-1)
+            runs_of = lambda arr: jax.vmap(
+                lambda s: jax.lax.dynamic_slice(arr, (s, 0), (L, c))
+            )(flat_start).reshape(-1, c)[:sample_size]
+            vals = runs_of(data_b)
+            wts = runs_of(weight_b) if weight is not None \
+                else jnp.ones_like(vals)
+            sample_valid = None
         else:
             # per-axis draws: floor(u * S) with u uniform on the 2^23-grid
             # {0, 2^-23, ..., 1 - 2^-23} (float32 mantissa granularity of
@@ -507,6 +550,7 @@ class _BucketState:
     use_thres: bool = True
     sampler_name: str = "randompoint"  # effective: randompoint|randomcube|fullbatch
     cube_len: Tuple[int, ...] = ()     # clipped, static per bucket
+    vector_len: int = 1                # clamped to the bucket min last axis
 
 
 @dataclass
@@ -766,7 +810,14 @@ class BlockFleetTrainer:
             tx=tx, key=jax.random.PRNGKey(self.seed + 1),
             thres=put(thres_arr), mesh=mesh,
             use_thres=bool(np.any(thres_host != 0.0)),
-            sampler_name=sampler_name, cube_len=cube_len)
+            sampler_name=sampler_name, cube_len=cube_len,
+            # clamp runs to the bucket's shortest last axis so a run never
+            # crosses a row; non-randompoint buckets pin 1 (vector_len is a
+            # static jit arg — varying it would split their compile cache)
+            vector_len=min(int(cc.sampler.get("vector_len", 1) or 1),
+                           min(int(b["data_norm"].shape[-2])
+                               for b in sub))
+            if sampler_name == "randompoint" else 1)
 
     def _prepare_solo(self, blocks: List[Dict], idx: int, cc,
                       fleet_max_steps: int, solo_slot: int = 0
@@ -806,8 +857,10 @@ class BlockFleetTrainer:
                 else jax.device_put(blk["weight"], dev)
             cps = sampler.cube_count * int(np.prod(clipped))
         else:
-            sampler = RandomPointSampler(spatial, mode,
-                                         int(scc.sampler.sample_size))
+            sampler = RandomPointSampler(
+                spatial, mode, int(scc.sampler.sample_size),
+                min(int(scc.sampler.get("vector_len", 1) or 1),
+                    int(np.prod(spatial))))
             dev_data = jax.device_put(blk["data_norm"].reshape(-1, c), dev)
             dev_weight = None if unit_weight \
                 else jax.device_put(blk["weight"].reshape(-1, c), dev)
@@ -857,7 +910,7 @@ class BlockFleetTrainer:
                 coords_mode=cc.coords_mode, half=bool(cc.half),
                 sampler=st.sampler_name,
                 cube_count=int(cc.sampler.cube_count),
-                cube_len=st.cube_len)
+                cube_len=st.cube_len, vector_len=st.vector_len)
             remaining -= seg_n
         return losses
 

@@ -354,6 +354,86 @@ class TestFleetRandompointDistribution:
         assert rel_err.max() <= bound, (rel_err.max(), bound)
 
 
+class TestFleetVectorisedRandompoint:
+    """Fleet form of Compress.sampler.vector_len (train/samplers.py): runs
+    of L voxels contiguous along the last axis, gathered with batched
+    dynamic_slice instead of serial single-voxel loads."""
+
+    def _cc(self, vector_len):
+        return cfglib.loads(f"""
+sampler: {{name: randompoint, cube_count: 1, cube_len: [64,64,64],
+          sample_size: 512, gpu_force: true, vector_len: {vector_len}}}
+loss: {{name: datal2, beta: 0.01, weight: [none], weight_thres: 0}}
+half: false
+coords_mode: "-1,1"
+optimizer_name_phi: Adamax
+lr_phi: 0.001
+lr_scheduler_phi: {{name: none}}
+""")
+
+    def _blocks(self, widths, shapes, seed=0):
+        rng = np.random.default_rng(seed)
+        return [{
+            "name": f"blk{i}",
+            "data_norm": rng.uniform(0, 100, s + (1,)).astype(np.float32),
+            "weight": np.ones(s + (1,), np.float32),
+            "model": init_phi({"name": "SIREN", **BASE, "features": f}),
+            "sideinfos": {},
+            "weight_thres_norm": 0.0,
+        } for i, (f, s) in enumerate(zip(widths, shapes))]
+
+    @pytest.mark.parametrize("shape,L", [((7, 9, 11), 4), ((5, 6), 6),
+                                         ((3, 4, 8), 8)])
+    def test_run_starts_within_bounds(self, shape, L):
+        """Every run of L voxels from a drawn start must lie inside the
+        block: interior axes in [0, S), last axis in [0, W-L] — so the
+        flat dynamic_slice never reads another row or the padding."""
+        from brief_pytorch_tpu.parallel.block_trainer import \
+            vector_run_starts
+        starts = np.asarray(vector_run_starts(
+            jax.random.PRNGKey(0), jnp.asarray(shape, jnp.int32), L, 5000))
+        assert starts.min() >= 0
+        for ax, S in enumerate(shape[:-1]):
+            assert starts[:, ax].max() < S
+        assert starts[:, -1].max() <= shape[-1] - L
+        # the clamped marginal still reaches every legal start
+        assert len(np.unique(starts[:, -1])) == shape[-1] - L + 1
+
+    def test_fleet_vector_len_trains(self):
+        blocks = self._blocks([8, 14], [(6, 8, 8), (8, 6, 12)])
+        trainer = BlockFleetTrainer(seed=0)
+        seen = {}
+        trainer.train(blocks, self._cc(4), max_steps=200,
+                      checkpoints=[20, 200],
+                      progress_cb=lambda s, l: seen.update({s: l.copy()}))
+        (st,) = trainer._states
+        assert st.vector_len == 4
+        assert np.all(np.isfinite(seen[200]))
+        assert seen[200].mean() < seen[20].mean(), (seen[20], seen[200])
+
+    def test_vector_len_clamped_to_bucket_last_axis(self):
+        """Requested L larger than a block's last axis clamps to the
+        bucket's shortest last axis (runs must not cross rows)."""
+        blocks = self._blocks([8, 8], [(6, 6, 10), (6, 6, 6)])
+        trainer = BlockFleetTrainer(seed=0)
+        trainer.train(blocks, self._cc(32), max_steps=2, checkpoints=[2])
+        (st,) = trainer._states
+        assert st.vector_len == 6
+
+    def test_cube_bucket_pins_vector_len_1(self):
+        """vector_len is randompoint-only; cube/fullbatch buckets must pin
+        1 (it is a static jit arg — varying it would split their cache)."""
+        blocks = self._blocks([8], [(6, 6, 6)])
+        cc = self._cc(16)
+        cc.sampler.name = "randomcube"
+        cc.sampler.cube_len = [4, 4, 4]
+        trainer = BlockFleetTrainer(seed=0)
+        trainer.train(blocks, cc, max_steps=2, checkpoints=[2])
+        (st,) = trainer._states
+        assert st.sampler_name == "randomcube"
+        assert st.vector_len == 1
+
+
 class TestSoloFallback:
     """MFN families have no chain structure and train per block (the
     reference children run ANY registered φ, main.py:277-280)."""
