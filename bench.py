@@ -183,7 +183,8 @@ def bench_single(features_override=None, sampler_kind="randomcube",
     _emit(metric, coords_per_sec, extras)
 
 
-def bench_fleet(n_steps=1500):
+def bench_fleet(n_steps=1500, vector_len=1,
+                metric="fleet_coords_per_sec_per_chip"):
     """8-block stacked fleet on one chip (the DivideTask hot path)."""
     import jax
     from brief_pytorch_tpu.core import config as cfglib
@@ -211,15 +212,15 @@ def bench_fleet(n_steps=1500):
                                        "layers": 5, "w0": 20, "res": False}),
                     "sideinfos": {}, "weight_thres_norm": 0.0})
                 i += 1
-    cc = cfglib.loads("""
-sampler: {name: randompoint, cube_count: 1, cube_len: [32,32,32],
-          sample_size: 32768, gpu_force: true}
-loss: {name: datal2, beta: 0.01, weight: [none], weight_thres: 0}
+    cc = cfglib.loads(f"""
+sampler: {{name: randompoint, cube_count: 1, cube_len: [32,32,32],
+          sample_size: 32768, gpu_force: true, vector_len: {vector_len}}}
+loss: {{name: datal2, beta: 0.01, weight: [none], weight_thres: 0}}
 half: false
 coords_mode: "-1,1"
 optimizer_name_phi: Adamax
 lr_phi: 0.001
-lr_scheduler_phi: {name: none}
+lr_scheduler_phi: {{name: none}}
 """)
     mesh = make_mesh(n_block_shards=len(jax.devices()))
     trainer = BlockFleetTrainer(mesh=mesh, seed=0)
@@ -243,7 +244,7 @@ lr_scheduler_phi: {name: none}
               "achieved_matmul_tflops": round(coords_per_sec * fpc / 1e12, 3)}
     if peak:
         extras["mfu"] = round(coords_per_sec * fpc / peak, 4)
-    _emit("fleet_coords_per_sec_per_chip", coords_per_sec, extras)
+    _emit(metric, coords_per_sec, extras)
 
 
 def main():
@@ -265,6 +266,10 @@ def main():
         bench_single(features_override=256, sampler_kind="randompoint",
                      metric="wide_f256_coords_per_sec_per_chip")
         bench_fleet()
+        # fleet form of vector_len (32^3 blocks -> 32-voxel rows): batched
+        # slice gathers in the vmapped block step
+        bench_fleet(vector_len=32,
+                    metric="fleet_vec32_coords_per_sec_per_chip")
 
 
 if __name__ == "__main__":
