@@ -247,6 +247,43 @@ lr_scheduler_phi: {{name: none}}
     _emit(metric, coords_per_sec, extras)
 
 
+def bench_decode(spatial=(256, 256, 256), slab=65536,
+                 metric="decode_voxels_per_sec_per_chip"):
+    """Full-grid decompression (the reference's other hot path,
+    main.py:609-651): the contract SIREN evaluated over a 256^3 grid as
+    ONE jitted lax.scan with on-device iota coordinates — Pallas fused
+    chain on TPU, plain apply elsewhere (train/decode.fused_apply_or).
+    Syncs on a scalar reduction, not the volume (the dev tunnel sustains
+    ~18 MB/s; transferring the decode would time the link)."""
+    import jax
+    import jax.numpy as jnp
+    from brief_pytorch_tpu.models.phi import init_phi
+    from brief_pytorch_tpu.train.decode import _decode_scan, fused_apply_or
+
+    phi_cfg = {"name": "SIREN", "coords_channel": 3, "data_channel": 1,
+               "layers": 5, "w0": 20, "res": False, "output_act": False,
+               "features": 22}
+    model = init_phi(phi_cfg)
+    params = model.init(jax.random.PRNGKey(42))
+    default_apply = model.apply   # capture once: each attribute access
+    apply_fn = fused_apply_or(model, default_apply)  # is a NEW bound method
+
+    def run(_):
+        flat = _decode_scan(params, apply_fn, tuple(spatial), 1, slab,
+                            "-1,1", None)
+        return jnp.sum(flat)
+
+    dt = _time_segment(run, 1)
+    vox = float(np.prod(spatial))
+    kind, _peak = _device_peak()
+    print(json.dumps({
+        "metric": metric, "value": round(vox / dt, 1),
+        "unit": "voxels/s/chip", "vs_baseline": None,
+        "grid": "x".join(str(s) for s in spatial), "slab": slab,
+        "device_kind": kind,
+        "fused_pallas": apply_fn is not default_apply}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true",
@@ -270,6 +307,7 @@ def main():
         # slice gathers in the vmapped block step
         bench_fleet(vector_len=32,
                     metric="fleet_vec32_coords_per_sec_per_chip")
+        bench_decode()
 
 
 if __name__ == "__main__":

@@ -25,17 +25,23 @@ _AE_IFREG = 0o100000
 _AE_IFDIR = 0o040000
 
 _lib = None
+_load_error: Optional[str] = None
 
 
 def _load():
-    global _lib
+    global _lib, _load_error
     if _lib is not None:
         return _lib
+    if _load_error is not None:
+        # cache the failure too: find_library shells out to ldconfig/gcc,
+        # and archive.py probes available() once per archive operation
+        raise RuntimeError(_load_error)
     name = ctypes.util.find_library("archive") or "libarchive.so.13"
     try:
         la = ctypes.CDLL(name)
     except OSError as e:
-        raise RuntimeError(f"libarchive unavailable: {e}")
+        _load_error = f"libarchive unavailable: {e}"
+        raise RuntimeError(_load_error)
     # 64-bit-correct signatures (defaults truncate pointers/sizes to int)
     la.archive_read_new.restype = ctypes.c_void_p
     la.archive_write_new.restype = ctypes.c_void_p
@@ -136,10 +142,17 @@ def read_7z(file_path: str) -> Dict[str, _io.BytesIO]:
 
 
 def extract_7z(file_path: str, extract_to_dir: str) -> None:
-    """(reference utils/io.py:278-281)"""
+    """(reference utils/io.py:278-281).  Entry names are confined to
+    extract_to_dir: archives come from external sources, and an absolute
+    or ../-laden arcname must not escape the target directory."""
+    root = os.path.realpath(extract_to_dir)
     for arc, bio in read_7z(file_path).items():
-        dest = os.path.join(extract_to_dir, arc)
-        os.makedirs(os.path.dirname(dest) or extract_to_dir, exist_ok=True)
+        dest = os.path.realpath(os.path.join(root, arc.lstrip("/\\")))
+        if dest != root and not dest.startswith(root + os.sep):
+            raise RuntimeError(
+                f"unsafe entry name {arc!r} in {file_path} escapes "
+                f"{extract_to_dir}")
+        os.makedirs(os.path.dirname(dest) or root, exist_ok=True)
         with open(dest, "wb") as f:
             f.write(bio.getvalue())
 
@@ -153,19 +166,6 @@ _METHOD_OPTS = {
     # fall back to lzma2 (any 7z reader handles it)
     "zstd": b"7zip:compression=lzma2,compression-level=3",
 }
-
-
-def _walk(path: str, arcbase: Optional[str]):
-    base = arcbase if arcbase is not None else os.path.basename(path)
-    if os.path.isfile(path):
-        yield base, path
-        return
-    for dirpath, _dirs, files in os.walk(path):
-        rel = os.path.relpath(dirpath, path)
-        for f in sorted(files):
-            arc = os.path.join(base, f) if rel == "." else \
-                os.path.join(base, rel, f)
-            yield arc, os.path.join(dirpath, f)
 
 
 def write_7z(file_path_list: List[str], save_path: str,
@@ -190,8 +190,11 @@ def write_7z(file_path_list: List[str], save_path: str,
         if la.archive_write_open_filename(a, save_path.encode()) \
                 != _ARCHIVE_OK:
             raise _err(la, a, f"open {save_path}")
+        # arcname layout shared with the legacy B7Z1 writer so archive
+        # membership cannot diverge between the two containers
+        from brief_pytorch_tpu.io.archive import _walk_files
         for path, arc in zip(file_path_list, arcname_list):
-            for arcname, fpath in _walk(path, arc):
+            for arcname, fpath in _walk_files(path, arc):
                 with open(fpath, "rb") as f:
                     data = f.read()
                 e = la.archive_entry_new()

@@ -79,16 +79,27 @@ def host_to_global(arr, sharding):
                                         lambda idx: arr[idx])
 
 
+_REPLICATE_JIT: dict = {}
+
+
 def all_addressable(tree, mesh: Mesh):
     """Make every leaf of a (possibly cross-process sharded) pytree fully
     addressable on every process by resharding to replicated — a
     jit-compiled identity whose out_sharding inserts the all-gather over
     ICI.  Single-process trees pass through untouched (their shards are
-    already addressable; no copy)."""
+    already addressable; no copy).
+
+    The jitted identity is memoized per sharding: a fresh closure per call
+    would be a jit-cache miss and recompile the all-gather every
+    checkpoint (the recompile class CLAUDE.md warns about)."""
     if jax.process_count() == 1:
         return tree
     rep = NamedSharding(mesh, P())
-    return jax.jit(lambda t: t, out_shardings=rep)(tree)
+    fn = _REPLICATE_JIT.get(rep)
+    if fn is None:
+        fn = _REPLICATE_JIT.setdefault(
+            rep, jax.jit(lambda t: t, out_shardings=rep))
+    return fn(tree)
 
 
 def multihost_init(coordinator: Optional[str] = None,

@@ -222,9 +222,18 @@ class NFGR:
         mode = self.opt.Compress.coords_mode
         dev_data = dev_weight = None
         if self.opt.Compress.sampler.name == "randompoint":
+            vector_len = int(
+                self.opt.Compress.sampler.get("vector_len", 1) or 1)
+            if data_shards > 1 and vector_len > 1:
+                # the DP trainer draws its per-shard batches internally
+                # (data_parallel._dp_segment) and would silently ignore it
+                raise ValueError(
+                    "Compress.sampler.vector_len is not supported with "
+                    "Compress.data_shards > 1 (the data-parallel trainer "
+                    "draws iid per-shard batches)")
             sampler = RandomPointSampler(
                 spatial, mode, int(self.opt.Compress.sampler.sample_size),
-                int(self.opt.Compress.sampler.get("vector_len", 1) or 1))
+                min(vector_len, int(np.prod(spatial))))
             c = data_norm.shape[-1]
             if data_shards <= 1:
                 dev_data = jnp.asarray(data_norm.reshape(-1, c))

@@ -480,6 +480,43 @@ lr_scheduler_phi: {name: none}
         assert all(d.shape == (6, 6, 6, 1) for d in decoded)
 
 
+class TestSoloProgressAlignment:
+    def test_not_started_solo_reports_nan_not_shrunk(self):
+        """A solo block whose scaled schedule has not reached its first
+        step by an early checkpoint must report NaN at its own position —
+        skipping it would shrink the loss array and shift every later
+        block for positional consumers."""
+        rng = np.random.default_rng(0)
+        mk = lambda: rng.uniform(0, 1, (6, 6, 6, 1)).astype(np.float32)
+        import copy
+        cc = TestSoloFallback._cc(None)
+        solo_cc = copy.deepcopy(cc)
+        solo_cc.max_steps = 3     # scaled target at ckpt 10/200 -> 0 steps
+        blocks = [
+            {"name": "a", "data_norm": mk(), "weight": None, "sideinfos": {},
+             "model": init_phi({"name": "SIREN", **BASE, "features": 8}),
+             "weight_thres_norm": 0.0},
+            {"name": "solo", "data_norm": mk(), "weight": None,
+             "sideinfos": {}, "solo_cfg": solo_cc,
+             "model": init_phi({"name": "SIREN", **BASE, "features": 8}),
+             "weight_thres_norm": 0.0},
+            {"name": "c", "data_norm": mk(), "weight": None, "sideinfos": {},
+             "model": init_phi({"name": "SIREN", **BASE, "features": 10}),
+             "weight_thres_norm": 0.0},
+        ]
+        for b in blocks:
+            b["weight"] = np.ones_like(b["data_norm"])
+        trainer = BlockFleetTrainer(seed=0)
+        seen = {}
+        trainer.train(blocks, cc, max_steps=200, checkpoints=[10, 200],
+                      progress_cb=lambda s, l: seen.update({s: l.copy()}))
+        assert len(trainer._solo) == 1
+        assert seen[10].shape == (3,) and seen[200].shape == (3,)
+        assert np.isnan(seen[10][1]), seen[10]        # not started yet
+        assert np.isfinite(seen[10][[0, 2]]).all()    # fleet blocks aligned
+        assert np.isfinite(seen[200]).all()           # solo ran by the end
+
+
 class TestSubmeshPacking:
     """Small buckets (B < mesh shards) pack onto disjoint device sub-meshes
     and run concurrently; the math must stay bit-identical to whole-mesh

@@ -208,6 +208,21 @@ class TestGenuine7z:
         assert out[os.path.join("module", "sub", "bias-0-8")].read() \
             == b"\x02" * 32
 
+    def test_extract_confines_entry_names(self, tmp_path):
+        """An external archive with a ../-laden entry name must not write
+        outside the extraction directory."""
+        from brief_pytorch_tpu.io import sevenzip
+        p = str(tmp_path / "x.bin")
+        with open(p, "wb") as f:
+            f.write(b"evil")
+        arc = str(tmp_path / "evil.7z")
+        sevenzip.write_7z([p], arc, ["../escaped.bin"])
+        target = tmp_path / "out"
+        target.mkdir()
+        with pytest.raises(RuntimeError, match="unsafe entry"):
+            sevenzip.extract_7z(arc, str(target))
+        assert not (tmp_path / "escaped.bin").exists()
+
     def test_archive_read_7z_dispatches_on_magic(self, tmp_path):
         """archive.read_7z reads BOTH containers: genuine .7z (libarchive)
         and the legacy B7Z1 fallback."""
