@@ -60,10 +60,17 @@ def main(argv=None):
     parser.add_argument("-cc", type=int, default=3000)
     parser.add_argument("-t", type=float, default=2)
     parser.add_argument("-m", type=int, default=33)
+    # -dropslice is vestigial in the reference too (parsed at main.py:692,
+    # assigned at :702, never read); -substore keeps the reference's child
+    # scratch dirs (subexps/data_chunks/task_opts, main.py:644-647) which
+    # the in-process fleet never creates — both accepted for CLI compat
     parser.add_argument("-dropslice", action="store_true")
     parser.add_argument("-debug", action="store_true")
     parser.add_argument("-substore", action="store_true")
-    parser.add_argument("-stepstore", action="store_false")
+    parser.add_argument("-stepstore", action="store_false",
+                        help="keep non-final step dirs (single task; the "
+                             "divide path keeps merged checkpoints like "
+                             "the reference parent)")
     parser.add_argument("-profile", action="store_true",
                         help="write a jax.profiler trace under the run dir "
                              "(view with TensorBoard's profile plugin)")
