@@ -302,6 +302,9 @@ def main():
                      vector_len=32)
         bench_single(features_override=256, sampler_kind="randompoint",
                      metric="wide_f256_coords_per_sec_per_chip")
+        bench_single(features_override=256, sampler_kind="randompoint",
+                     metric="wide_f256_vec32_coords_per_sec_per_chip",
+                     vector_len=32)
         bench_fleet()
         # fleet form of vector_len (32^3 blocks -> 32-voxel rows): batched
         # slice gathers in the vmapped block step
