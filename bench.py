@@ -244,6 +244,18 @@ lr_scheduler_phi: {{name: none}}
               "achieved_matmul_tflops": round(coords_per_sec * fpc / 1e12, 3)}
     if peak:
         extras["mfu"] = round(coords_per_sec * fpc / peak, 4)
+    anchor_path = os.path.join(_HERE, "anchor_crosscheck.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            fa = json.load(f).get("fleet")
+        if fa:
+            extras["anchor_crosscheck"] = {
+                "measured": "reference sequential per-block children vs "
+                            "our vmapped fleet, same single-core CPU host "
+                            "(stacking overhead only — the block-axis "
+                            "device scaling is the TPU story)",
+                "ratio_ours_over_reference":
+                    fa["ratio_ours_over_reference"]}
     _emit(metric, coords_per_sec, extras)
 
 

@@ -82,7 +82,7 @@ def measure_torch():
                        layers=5, w0=20, res=False, output_act=False)
     sampler = RandomCubeSampler(
         torch.from_numpy(data_norm), np.ones_like(data_norm), "-1,1",
-        cube_count=1, cube_len=[64, 64, 64], sample_count=N_STEPS + 5,
+        cube_count=1, cube_len=[64, 64, 64], sample_count=2 * N_STEPS + 5,
         device="cpu", gpu_force=True)
     opt = torch.optim.Adamax(net.parameters(), lr=1e-3)
     sched = torch.optim.lr_scheduler.MultiStepLR(
@@ -91,11 +91,13 @@ def measure_torch():
     def loss_func(y, yhat, w, thres):
         return torch.mean(w * (yhat - y) ** 2)
 
+    # best-of-2 timed segments: this is a SINGLE-CORE host and background
+    # activity (e.g. the session's TPU probes) can steal a rep
     it = iter(sampler)
-    t0 = None
-    for step in range(N_STEPS + 5):
+    best = float("inf")
+    for step in range(2 * N_STEPS + 5):
         coords, vals, wts = next(it)
-        if step == 5:
+        if step in (5, 5 + N_STEPS):
             t0 = time.perf_counter()
         opt.zero_grad()
         pred = net.forward(coords)
@@ -103,9 +105,10 @@ def measure_torch():
         loss.backward()
         opt.step()
         sched.step()
-    dt = time.perf_counter() - t0
+        if step in (4 + N_STEPS, 4 + 2 * N_STEPS):
+            best = min(best, time.perf_counter() - t0)
     coords_per_step = 64 ** 3
-    return N_STEPS * coords_per_step / dt, float(loss.item())
+    return N_STEPS * coords_per_step / best, float(loss.item())
 
 
 def measure_jax():
@@ -138,17 +141,130 @@ def measure_jax():
     p, o, _ = run_segment(params, opt_state, dev_data, None,
                           jax.random.PRNGKey(0), n_steps=N_STEPS, **kwargs)
     jax.block_until_ready(p)
-    t0 = time.perf_counter()
-    p, o, losses = run_segment(p, o, dev_data, None, jax.random.PRNGKey(1),
-                               n_steps=N_STEPS, **kwargs)
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
-    return N_STEPS * 64 ** 3 / dt, float(np.asarray(losses)[-1])
+    best = float("inf")
+    for rep in (1, 2):          # best-of-2 (single-core host, see torch side)
+        t0 = time.perf_counter()
+        p, o, losses = run_segment(p, o, dev_data, None,
+                                   jax.random.PRNGKey(rep),
+                                   n_steps=N_STEPS, **kwargs)
+        jax.block_until_ready(losses)
+        best = min(best, time.perf_counter() - t0)
+    return N_STEPS * 64 ** 3 / best, float(np.asarray(losses)[-1])
+
+
+FLEET_BLOCKS = 8
+FLEET_STEPS = 30
+FLEET_SAMPLE = 32768
+
+
+def _fleet_blocks_np():
+    """The bench_fleet workload: 8 32^3 sub-blocks of the fixture with
+    heterogeneous widths (bench.py bench_fleet)."""
+    from brief_pytorch_tpu.core.normalize import normalize_data
+    from brief_pytorch_tpu.io.image import read_img
+    data = read_img(FIXTURE)
+    data_norm, _ = normalize_data(data, "minmaxany_0_100")
+    out = []
+    i = 0
+    for z in range(2):
+        for y in range(2):
+            for x in range(2):
+                out.append((data_norm[z * 32:(z + 1) * 32,
+                                      y * 32:(y + 1) * 32,
+                                      x * 32:(x + 1) * 32],
+                            40 + 4 * (i % 3)))
+                i += 1
+    return out
+
+
+def measure_torch_fleet():
+    """The reference architecture for DivideTask: ONE child process per
+    block (main.py:547-580), i.e. on a single device the blocks train
+    sequentially.  Per-block steady state (2 warmup + FLEET_STEPS timed),
+    summed — child startup/IO excluded, so this is generous to torch."""
+    import torch
+    sys.path.insert(0, REF)
+    try:
+        import utils.Networks as refnet
+        from main import RandompointSampler
+    finally:
+        sys.path.remove(REF)
+    total_dt = 0.0
+    for blk, feats in _fleet_blocks_np():
+        torch.manual_seed(0)
+        net = refnet.SIREN(coords_channel=3, data_channel=1, features=feats,
+                           layers=5, w0=20, res=False, output_act=False)
+        sampler = RandompointSampler(
+            torch.from_numpy(blk), np.ones_like(blk), "-1,1",
+            sample_size=FLEET_SAMPLE, sample_count=2 * FLEET_STEPS + 2,
+            device="cpu")
+        opt = torch.optim.Adamax(net.parameters(), lr=1e-3)
+        it = iter(sampler)
+        best = float("inf")     # best-of-2 per block (single-core host)
+        for step in range(2 * FLEET_STEPS + 2):
+            coords, vals, wts = next(it)
+            if step in (2, 2 + FLEET_STEPS):
+                t0 = time.perf_counter()
+            opt.zero_grad()
+            pred = net.forward(coords)
+            loss = torch.mean(wts * (pred - vals) ** 2)
+            loss.backward()
+            opt.step()
+            if step in (1 + FLEET_STEPS, 1 + 2 * FLEET_STEPS):
+                best = min(best, time.perf_counter() - t0)
+        total_dt += best
+    return FLEET_BLOCKS * FLEET_STEPS * FLEET_SAMPLE / total_dt
+
+
+def measure_jax_fleet():
+    """Our architecture for the same workload: all 8 blocks stacked into
+    one vmapped program (parallel/block_trainer.py), single CPU device —
+    the architectural win measured apart from any hardware story."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from brief_pytorch_tpu.core import config as cfglib
+    from brief_pytorch_tpu.models.phi import init_phi
+    from brief_pytorch_tpu.parallel.block_trainer import BlockFleetTrainer
+    blocks = []
+    for i, (blk, feats) in enumerate(_fleet_blocks_np()):
+        blocks.append({
+            "name": f"b{i}", "data_norm": blk, "weight": np.ones_like(blk),
+            "model": init_phi({"name": "SIREN", "coords_channel": 3,
+                               "data_channel": 1, "features": feats,
+                               "layers": 5, "w0": 20, "res": False}),
+            "sideinfos": {}, "weight_thres_norm": 0.0})
+    cc = cfglib.loads(f"""
+sampler: {{name: randompoint, cube_count: 1, cube_len: [32,32,32],
+          sample_size: {FLEET_SAMPLE}, gpu_force: true}}
+loss: {{name: datal2, beta: 0.01, weight: [none], weight_thres: 0}}
+half: false
+coords_mode: "-1,1"
+optimizer_name_phi: Adamax
+lr_phi: 0.001
+lr_scheduler_phi: {{name: none}}
+""")
+    trainer = BlockFleetTrainer(seed=0)
+    trainer.train(blocks, cc, max_steps=1, checkpoints=[1])  # prepare+warm
+    (st,) = trainer._states
+
+    def run():
+        losses = trainer._run_segment(st, cc, FLEET_STEPS)
+        return np.asarray(losses)
+
+    run()  # compile the timed n_steps
+    best = float("inf")         # best-of-2 (single-core host)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return FLEET_BLOCKS * FLEET_STEPS * FLEET_SAMPLE / best
 
 
 def main():
     jax_cps, jax_loss = measure_jax()
+    jax_fleet_cps = measure_jax_fleet()
     torch_cps, torch_loss = measure_torch()
+    torch_fleet_cps = measure_torch_fleet()
     rec = {
         "host": "cpu-vs-cpu (same machine)",
         "config": f"SIREN f={FEATURES} L=5, full-volume 64^3 randomcube, "
@@ -159,6 +275,23 @@ def main():
         "reference_loss_after": torch_loss,
         "ours_loss_after": jax_loss,
         "n_timed_steps": N_STEPS,
+        "fleet": {
+            "config": f"{FLEET_BLOCKS} heterogeneous 32^3 blocks, "
+                      f"randompoint {FLEET_SAMPLE}/step (bench_fleet "
+                      "workload); reference = sequential per-block "
+                      "children (main.py:547-580), ours = one vmapped "
+                      "stacked program, both on one SINGLE-CORE CPU — "
+                      "same core count either way, so the ratio measures "
+                      "the stacking machinery's overhead (incl. masked "
+                      "width padding 40/44->48), NOT the block-axis "
+                      "device scaling the fleet exists for (that is "
+                      "measured on hardware: RESULTS.md fleet numbers)",
+            "reference_torch_coords_per_sec": round(torch_fleet_cps, 1),
+            "ours_jax_cpu_coords_per_sec": round(jax_fleet_cps, 1),
+            "ratio_ours_over_reference": round(
+                jax_fleet_cps / torch_fleet_cps, 3),
+            "n_timed_steps": FLEET_STEPS,
+        },
     }
     out = os.path.join(HERE, "anchor_crosscheck.json")
     with open(out, "w") as f:
