@@ -118,7 +118,7 @@ WORKER_FLEET = textwrap.dedent("""
     rng = np.random.default_rng(0)
     cc = cfglib.loads(\"\"\"
     sampler: {name: randompoint, cube_count: 1, cube_len: [8,8,8],
-              sample_size: 128, gpu_force: true}
+              sample_size: 128, gpu_force: true, vector_len: 4}
     loss: {name: datal2, beta: 0.01, weight: [none], weight_thres: 0}
     half: false
     coords_mode: "-1,1"
@@ -312,7 +312,7 @@ def test_two_process_block_fleet_matches_single_process(tmp_path):
     rng = np.random.default_rng(0)
     cc = cfglib.loads("""
 sampler: {name: randompoint, cube_count: 1, cube_len: [8,8,8],
-          sample_size: 128, gpu_force: true}
+          sample_size: 128, gpu_force: true, vector_len: 4}
 loss: {name: datal2, beta: 0.01, weight: [none], weight_thres: 0}
 half: false
 coords_mode: "-1,1"
