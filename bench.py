@@ -296,11 +296,46 @@ def bench_decode(spatial=(256, 256, 256), slab=65536,
         "fused_pallas": apply_fn is not default_apply}))
 
 
+def _require_device(timeout_s: int = 300):
+    """Fail fast if no accelerator answers within timeout_s.
+
+    This session's TPU is reached through a tunnel; when the remote worker
+    is down, backend init BLOCKS indefinitely (observed: hours) instead of
+    erroring, and a Python signal handler cannot interrupt the blocked C++
+    call — so a daemon watchdog thread hard-exits instead.  A hung bench
+    would stall the whole round; a bounded loud failure (error JSON line +
+    exit 2) is strictly better."""
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(timeout_s):
+            msg = (f"no accelerator reachable within {timeout_s}s "
+                   "(remote TPU worker down?)")
+            print(json.dumps({
+                "metric": "train_coords_per_sec_per_chip", "value": 0.0,
+                "unit": "coords/s/chip", "vs_baseline": 0.0, "error": msg,
+            }), flush=True)
+            print(f"bench.py: {msg} — aborting", file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+    kind = jax.devices()[0].device_kind
+    done.set()
+    return kind
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true",
                     help="also bench narrow/wide shapes and the fleet")
+    ap.add_argument("--device-timeout", type=int, default=300,
+                    help="seconds to wait for an accelerator before failing")
     args = ap.parse_args()
+    _require_device(args.device_timeout)
     # driver contract line: the SingleTask default hot loop
     bench_single()
     if args.all:
