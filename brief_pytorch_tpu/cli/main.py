@@ -74,7 +74,27 @@ def main(argv=None):
     parser.add_argument("-profile", action="store_true",
                         help="write a jax.profiler trace under the run dir "
                              "(view with TensorBoard's profile plugin)")
+    # multi-host launch: run the SAME command on every host with its own
+    # -procid; the processes join one jax.distributed mesh and the block
+    # fleet / data shards span all their devices (the reference spanned
+    # machines via per-block subprocesses + a shared filesystem,
+    # main.py:547-580; here the shared filesystem only carries process-0's
+    # artifacts).  Omit all three on TPU pods launched by a cluster
+    # runtime — jax auto-detects the cluster.
+    parser.add_argument("-coordinator", type=str, default=None,
+                        help="jax.distributed coordinator host:port "
+                             "(process 0's address) for multi-host runs")
+    parser.add_argument("-nprocs", type=int, default=None,
+                        help="total number of processes in the multi-host "
+                             "run (with -coordinator)")
+    parser.add_argument("-procid", type=int, default=None,
+                        help="this process's id in [0, nprocs) "
+                             "(with -coordinator)")
     args = parser.parse_args(argv)
+    if args.coordinator is not None:
+        from brief_pytorch_tpu.parallel.mesh import multihost_init
+        multihost_init(coordinator=args.coordinator,
+                       num_processes=args.nprocs, process_id=args.procid)
     return run(args.p, args)
 
 

@@ -105,15 +105,21 @@ def all_addressable(tree, mesh: Mesh):
 def multihost_init(coordinator: Optional[str] = None,
                    num_processes: Optional[int] = None,
                    process_id: Optional[int] = None) -> None:
-    """Initialise jax.distributed for multi-host meshes.  No-op when the
-    environment provides no cluster (single-host dev boxes, tests)."""
+    """Initialise jax.distributed for multi-host meshes.
+
+    With an EXPLICIT coordinator (CLI -coordinator, test workers) failures
+    propagate — the user asked for a cluster, silently proceeding
+    single-process would train a fraction of the fleet and hang the
+    collectives.  Without one, auto-detection is best-effort and a no-op
+    when the environment provides no cluster (single-host dev boxes,
+    tests)."""
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return
     try:
-        if coordinator is not None:
-            jax.distributed.initialize(coordinator_address=coordinator,
-                                       num_processes=num_processes,
-                                       process_id=process_id)
-        else:
-            jax.distributed.initialize()
+        jax.distributed.initialize()
     except Exception:
         pass  # single-process environment
 

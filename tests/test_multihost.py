@@ -473,3 +473,111 @@ def test_two_process_mesh_psum(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out[-2000:]}"
         assert "psum ok: 10.0" in out
+
+
+WORKER_CLI = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2").strip()
+    from brief_pytorch_tpu.cli.main import main
+
+    coord, pid, yaml_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    res = main(["-p", yaml_path, "-coordinator", coord,
+                "-nprocs", "2", "-procid", pid])
+    print(f"SUMMARY psnr={res.get('psnr', float('nan')):.4f}")
+""")
+
+
+@pytest.mark.skipif(os.environ.get("BRIEF_TPU_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_cli_divide(tmp_path, brain64_path):
+    """Multi-host launch through the USER-FACING CLI flags (-coordinator /
+    -nprocs / -procid, cli/main.py): each process runs the same command,
+    joins one jax.distributed mesh, the DivideTask fleet spans both, and
+    only process 0 writes the reference-layout artifacts (the reference
+    spanned machines via per-block subprocesses + a shared filesystem,
+    main.py:547-580)."""
+    base_yaml = """
+Reproduc: {{seed: 42, benchmark: false, deterministic: true}}
+Dataset: {{data_path: "{data}"}}
+Log: {{outputs_dir: "{out}", project_name: clidist, stdlog: false,
+      tensorboard: false, time: false}}
+CompressFramework:
+  Name: NFGR
+  Compress:
+    divide: {{divide_type: total_2_2_2, param_alloc: by_size,
+             param_size_thres: 26, exception: none}}
+    half: false
+    sampler: {{name: randompoint, cube_count: 1,
+              cube_len: [10000000,10000000,10000000], sample_size: 1024,
+              gpu_force: true}}
+    coords_mode: "-1,1"
+    preprocess:
+      denoise: {{level: 0, close: [2,2,2]}}
+      clip: [0, 65535]
+    param: {{init_net_path: none, filesize_ratio: 80, given_size: 0}}
+    loss: {{name: datal2, beta: 0.01, weight: [none], weight_thres: 0}}
+    gpu: true
+    max_steps: 40
+    checkpoints: none
+    loss_log_freq: 20
+    lr_phi: 0.001
+    optimizer_name_phi: Adamax
+    lr_scheduler_phi: {{name: none}}
+    decompress: true
+  Decompress:
+    sample_size: 4096
+    gpu: true
+    postprocess:
+      denoise: {{level: 0, close: [2,2,2]}}
+      clip: [0, 65535]
+    keep_decompressed: true
+    mip: false
+    mse: true
+    psnr: true
+    ssim: false
+  Module:
+    phi: {{name: SIREN, coords_channel: 3, data_channel: 1, layers: 4,
+          w0: 20, output_act: false, res: false}}
+  Normalize: {{name: minmaxany_0_100}}
+"""
+    yamls = []
+    for pid in range(2):
+        y = tmp_path / f"divide_p{pid}.yaml"
+        y.write_text(base_yaml.format(data=brain64_path,
+                                      out=str(tmp_path / f"proc{pid}")))
+        yamls.append(y)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker_cli.py"
+    script.write_text(WORKER_CLI)
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coord, str(pid), str(yamls[pid])],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
+    # process 0 wrote the artifacts under ITS outputs dir
+    logdir0 = os.path.join(tmp_path, "proc0", "clidist")
+    mods = sorted(os.listdir(os.path.join(logdir0, "steps40",
+                                          "compressed", "module")))
+    assert len(mods) == 8 and all(m.startswith("d_") for m in mods)
+    psnr0 = float([l for l in outs[0].splitlines()
+                   if l.startswith("SUMMARY")][0].split("=")[1])
+    assert psnr0 > 15.0, psnr0
+    # process 1 wrote none
+    logdir1 = os.path.join(tmp_path, "proc1", "clidist")
+    assert not os.path.isdir(os.path.join(logdir1, "steps40"))
