@@ -158,7 +158,9 @@ def main():
     psnr = -10.0 * np.log10(mse / 65535.0 ** 2)
     nbytes = os.path.getsize(comp_path)
     orig_bytes = os.path.getsize(FIXTURE)
+    import jax
     result = {
+        "tag": tag, "platform": jax.devices()[0].platform,
         "variant": args.variant, "train_steps": args.steps,
         "sga_steps": args.sga_steps, "Lambda": args.Lambda,
         "features": args.features, "y_channel": args.y_channel,
