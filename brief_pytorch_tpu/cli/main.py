@@ -27,6 +27,8 @@ def reproduc(opt) -> None:
 
 def run(opt_path: str, args=None) -> dict:
     opt = cfglib.load(opt_path)
+    if getattr(args, "resume", None):
+        opt.CompressFramework.Compress.resume = args.resume
     log = MyLogger(**opt.Log.to_plain())
     shutil.copy(opt_path, log.script_dir)
     reproduc(opt.Reproduc)
@@ -90,6 +92,11 @@ def main(argv=None):
     parser.add_argument("-procid", type=int, default=None,
                         help="this process's id in [0, nprocs) "
                              "(with -coordinator)")
+    parser.add_argument("-resume", type=str, default=None,
+                        help="continue a preempted run from its "
+                             "trainstate (a run dir or the .npz itself); "
+                             "overrides Compress.resume — see "
+                             "train/checkpoint.py")
     args = parser.parse_args(argv)
     if args.coordinator is not None:
         from brief_pytorch_tpu.parallel.mesh import multihost_init

@@ -81,6 +81,13 @@ class CompressOpt:
     optimizer_name_phi: str = "Adamax"
     lr_scheduler_phi: Any = None
     decompress: bool = True
+    # resume a preempted run from a trainstate.npz (params + optimizer
+    # state + PRNG key + step, written to the run dir at every checkpoint;
+    # train/checkpoint.py).  "none", a state file, or a run dir.  Beyond
+    # the reference (its checkpoints are outputs only, no optimizer-state
+    # resume — SURVEY.md §5); a resumed run is bit-identical to an
+    # uninterrupted one (tested).
+    resume: str = "none"
 
 
 @dataclass

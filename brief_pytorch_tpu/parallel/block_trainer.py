@@ -652,13 +652,21 @@ class BlockFleetTrainer:
 
     def train(self, blocks: List[Dict], compress_cfg, max_steps: int,
               checkpoint_cb=None, checkpoints: Optional[List[int]] = None,
-              progress_cb=None) -> List[Dict]:
+              progress_cb=None, state_path: Optional[str] = None,
+              resume_path: Optional[str] = None) -> List[Dict]:
         """blocks: dicts with keys data_norm, weight, model (PhiModel),
         name, sideinfos.  Returns blocks with 'params' attached.
 
         compress_cfg: the Compress config node (sampler, loss, lr, ...).
         checkpoint_cb(step, blocks, per_block_params) fires at every entry
         of `checkpoints` with the FULL fleet (all buckets + solo blocks).
+
+        state_path: write the FULL fleet training state (stacked params +
+        optimizer states + PRNG keys + solo states, train/checkpoint.py)
+        there at every checkpoint (process 0 only; atomic).  resume_path:
+        restore such a state and continue — a resumed fleet is
+        bit-identical to an uninterrupted one on the same checkpoint grid
+        (beyond the reference, whose children restart from zero).
         """
         cc = compress_cfg
         # bucket by stackable signature
@@ -694,9 +702,21 @@ class BlockFleetTrainer:
                                          solo_slot=k)
                       for k, i in enumerate(solo_idxs)]
 
+        fingerprint = None
+        if state_path or resume_path:
+            fingerprint = self._fleet_fingerprint(blocks, cc, max_steps)
+        start_step = 0
+        if resume_path:
+            from brief_pytorch_tpu.train.checkpoint import resolve_trainstate
+            start_step = self._load_state(
+                resolve_trainstate(resume_path, "trainstate_fleet.npz"),
+                fingerprint)
+
         ckpts = checkpoints or [max_steps]
-        step = 0
+        step = start_step
         for ckpt in ckpts:
+            if ckpt <= start_step:
+                continue   # the pre-preemption run already produced these
             n = ckpt - step
             if n > 0:
                 # dispatch every bucket's segments WITHOUT host syncs, then
@@ -727,9 +747,87 @@ class BlockFleetTrainer:
             step = ckpt
             if checkpoint_cb is not None:
                 checkpoint_cb(step, blocks, self._fleet_params(blocks))
+            # state AFTER the artifacts: a preemption mid-checkpoint
+            # resumes from the previous one and regenerates them
+            if state_path is not None:
+                self._save_state(state_path, step, fingerprint)
         for blk, p in zip(blocks, self._fleet_params(blocks)):
             blk["params"] = p
         return blocks
+
+    # -------------------------------------------------- resume machinery --
+    def _fleet_fingerprint(self, blocks: List[Dict], cc, max_steps: int
+                           ) -> Dict:
+        """Config axes a stored fleet state is only meaningful under.
+        max_steps is included (unlike the single trainer): solo blocks'
+        proportional checkpoint targets (_run_solo_to) depend on it."""
+        return {
+            "kind": "fleet",
+            "blocks": [str(b["name"]) for b in blocks],
+            "models": [type(b["model"]).__name__ for b in blocks],
+            "buckets": [[int(i) for i in st.block_idxs]
+                        for st in self._states],
+            "nshards": [int(st.mesh.shape["blocks"]) for st in self._states],
+            "solo": [int(ss.block_idx) for ss in self._solo],
+            "optimizer": str(cc.optimizer_name_phi), "lr": float(cc.lr_phi),
+            "sampler": str(cc.sampler.name), "seed": int(self.seed),
+            "max_steps": int(max_steps),
+        }
+
+    def _save_state(self, path: str, step: int, fingerprint: Dict) -> None:
+        """Write the whole fleet's training state (atomic, process 0 only).
+        Sharded bucket stacks are all-gathered so the host copy is complete
+        regardless of how many processes the mesh spans."""
+        from brief_pytorch_tpu.train import checkpoint as ckpt_lib
+        # NOTE: the all_addressable gathers below are COLLECTIVE programs —
+        # every process must execute them in the same order; only the final
+        # file write is process-0-gated.
+        arrs: Dict[str, np.ndarray] = {
+            "step": np.asarray(int(step)),
+            "fingerprint": ckpt_lib.fingerprint_bytes(fingerprint),
+        }
+        for bi, st in enumerate(self._states):
+            ckpt_lib.pack_tree(arrs, f"b{bi}p",
+                               all_addressable(st.params, st.mesh))
+            ckpt_lib.pack_tree(arrs, f"b{bi}o",
+                               all_addressable(st.opt_state, st.mesh))
+            arrs[f"b{bi}key"] = np.asarray(st.key)
+        for si, ss in enumerate(self._solo):
+            ckpt_lib.pack_tree(arrs, f"s{si}p", ss.params)
+            ckpt_lib.pack_tree(arrs, f"s{si}o", ss.opt_state)
+            arrs[f"s{si}key"] = np.asarray(ss.key)
+            arrs[f"s{si}done"] = np.asarray(int(ss.steps_done))
+        if jax.process_index() == 0:
+            ckpt_lib.atomic_savez(path, arrs)
+
+    def _load_state(self, path: str, fingerprint: Dict) -> int:
+        """Restore a _save_state file into the freshly prepared fleet
+        (every process loads the full host value and contributes its own
+        addressable shards — the same shared-filesystem hand-off the
+        placement uses).  Returns the stored step."""
+        from brief_pytorch_tpu.train import checkpoint as ckpt_lib
+        with np.load(path) as z:
+            ckpt_lib.check_fingerprint(z, fingerprint, path)
+            for bi, st in enumerate(self._states):
+                bs = block_sharding(st.mesh)
+                put = lambda tree: jax.tree_util.tree_map(
+                    lambda x: host_to_global(x, bs), tree)
+                st.params = put(ckpt_lib.unpack_tree(
+                    z, f"b{bi}p", st.params, f"bucket{bi} params"))
+                st.opt_state = put(ckpt_lib.unpack_tree(
+                    z, f"b{bi}o", st.opt_state, f"bucket{bi} opt_state"))
+                st.key = jnp.asarray(z[f"b{bi}key"])
+            for si, ss in enumerate(self._solo):
+                dev = next(iter(jax.tree_util.tree_leaves(
+                    ss.params)[0].devices()))
+                ss.params = jax.device_put(ckpt_lib.unpack_tree(
+                    z, f"s{si}p", ss.params, f"solo{si} params"), dev)
+                ss.opt_state = jax.device_put(ckpt_lib.unpack_tree(
+                    z, f"s{si}o", ss.opt_state, f"solo{si} opt_state"), dev)
+                ss.key = jnp.asarray(z[f"s{si}key"])
+                ss.steps_done = int(z[f"s{si}done"])
+                ss.last_losses = None
+            return int(z["step"])
 
     def _prepare_bucket(self, blocks: List[Dict], idxs: List[int], cc,
                         mesh=None) -> _BucketState:

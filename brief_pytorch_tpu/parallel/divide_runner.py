@@ -264,7 +264,13 @@ def compress_divide(opt, log, args=None) -> Dict:
             log.append_csv_row(opj(log.logdir, "performance.csv"), perf)
             summary.update(perf)
 
+    # true resume (beyond the reference; train/checkpoint.py): the fleet
+    # state lands next to the artifacts at every checkpoint, and
+    # Compress.resume continues a preempted run bit-identically
+    resume = str(cf_opt.Compress.get("resume", "none") or "none")
     trainer.train(blocks, cf_opt.Compress, max_steps,
-                  checkpoint_cb=on_checkpoint, checkpoints=checkpoints)
+                  checkpoint_cb=on_checkpoint, checkpoints=checkpoints,
+                  state_path=opj(log.logdir, "trainstate_fleet.npz"),
+                  resume_path=None if resume == "none" else resume)
     log.close()
     return summary

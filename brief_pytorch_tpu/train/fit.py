@@ -308,11 +308,41 @@ class NFGR:
                 fused = True
 
         key = jax.random.PRNGKey(self.seed)
-        step = 0
+
+        # --- true resume (beyond the reference; train/checkpoint.py) ---
+        # fingerprint: the config axes under which a stored state is
+        # meaningful.  max_steps/checkpoints are deliberately absent —
+        # resuming to train LONGER is a supported use (bit-equality with an
+        # uninterrupted run additionally needs the same checkpoint grid,
+        # since segment PRNG keys are split per checkpoint interval).
+        fingerprint = {
+            "kind": "single", "phi_name": str(self.opt.Module.phi.name),
+            "phi_features": int(features), "sampler": repr(sampler),
+            "optimizer": str(self.opt.Compress.optimizer_name_phi),
+            "lr": float(self.opt.Compress.lr_phi),
+            "loss": f"{loss_name}/{beta}/{thres_norm}",
+            "half": self.half, "data_shards": data_shards, "seed": self.seed,
+        }
+        start_step = 0
+        resume = str(self.opt.Compress.get("resume", "none") or "none")
+        if resume != "none":
+            from brief_pytorch_tpu.train.checkpoint import (
+                load_trainstate, resolve_trainstate)
+            params, opt_state, key, start_step = load_trainstate(
+                resolve_trainstate(resume), params, opt_state, fingerprint)
+            if dp is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                rep = NamedSharding(dp.mesh, P())
+                params = jax.device_put(params, rep)
+                opt_state = jax.device_put(opt_state, rep)
+
+        step = start_step
         summary = {}
         orig_data = None
         last_loss = float("nan")   # checkpoints may start at 0 steps
         for ckpt in checkpoints:
+            if ckpt <= start_step:
+                continue   # the pre-preemption run already produced these
             n = ckpt - step
             if n > 0:
                 # split into bounded scans: one checkpoint interval can be
@@ -392,6 +422,14 @@ class NFGR:
                 perf["loss"] = last_loss
                 log.append_csv_row(opj(log.logdir, "performance.csv"), perf)
                 summary.update(perf)
+
+            # persist the FULL training state (atomic) after the artifacts:
+            # a preemption mid-checkpoint resumes from the previous one and
+            # regenerates, so half-written artifacts are never trusted
+            if jax.process_index() == 0:
+                from brief_pytorch_tpu.train.checkpoint import save_trainstate
+                save_trainstate(opj(log.logdir, "trainstate.npz"),
+                                params, opt_state, key, step, fingerprint)
 
             if stepstore and step < max_steps:
                 shutil.rmtree(step_dir)
