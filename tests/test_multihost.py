@@ -581,3 +581,113 @@ CompressFramework:
     # process 1 wrote none
     logdir1 = os.path.join(tmp_path, "proc1", "clidist")
     assert not os.path.isdir(os.path.join(logdir1, "steps40"))
+
+
+WORKER_FLEET_RESUME = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from brief_pytorch_tpu.core import config as cfglib
+    from brief_pytorch_tpu.models.phi import init_phi
+    from brief_pytorch_tpu.parallel.block_trainer import BlockFleetTrainer
+    from brief_pytorch_tpu.parallel.mesh import multihost_init
+
+    coord, n_proc, pid, shared = (sys.argv[1], int(sys.argv[2]),
+                                  int(sys.argv[3]), sys.argv[4])
+    multihost_init(coordinator=coord, num_processes=n_proc, process_id=pid)
+    assert jax.process_count() == n_proc
+    devs = np.array(jax.devices())   # 4 global devices across 2 processes
+    mesh = Mesh(devs.reshape(-1, 1), ("blocks", "data"))
+
+    cc = cfglib.loads(\"\"\"
+    sampler: {name: randompoint, cube_count: 1, cube_len: [8,8,8],
+              sample_size: 128, gpu_force: true, vector_len: 4}
+    loss: {name: datal2, beta: 0.01, weight: [none], weight_thres: 0}
+    half: false
+    coords_mode: "-1,1"
+    optimizer_name_phi: Adamax
+    lr_phi: 0.001
+    lr_scheduler_phi: {name: none}
+    \"\"\")
+
+    def build_blocks():
+        rng = np.random.default_rng(0)
+        blocks = []
+        cfgs = [{"name": "SIREN", "coords_channel": 3, "data_channel": 1,
+                 "features": 10, "layers": 4, "w0": 20, "res": False},
+                {"name": "SIREN", "coords_channel": 3, "data_channel": 1,
+                 "features": 14, "layers": 4, "w0": 20, "res": False},
+                # MFN solo: trains redundantly per process; its state must
+                # round-trip through the fleet state file too
+                {"name": "MFNGabor", "coords_channel": 3,
+                 "data_channel": 1, "features": 8, "layers": 4}]
+        for i, cfg in enumerate(cfgs):
+            vol = rng.uniform(0, 1, (8, 8, 8, 1)).astype(np.float32)
+            blocks.append({"name": f"b{i}", "data_norm": vol,
+                           "weight": np.ones_like(vol),
+                           "model": init_phi(cfg), "sideinfos": {},
+                           "weight_thres_norm": 0.0})
+        return blocks
+
+    state = os.path.join(shared, "fleet_state.npz")
+    # A: stop at 15 — proc 0 writes the state (the save's all-gathers are
+    # collective; the file write is process-0-gated)
+    ta = BlockFleetTrainer(mesh=mesh, seed=3)
+    ta.train(build_blocks(), cc, max_steps=30, checkpoints=[15],
+             state_path=state)
+    # B: uninterrupted cross-process truth
+    bb = BlockFleetTrainer(mesh=mesh, seed=3).train(
+        build_blocks(), cc, max_steps=30, checkpoints=[15, 30])
+    # C: resume across the SAME 2-process boundary
+    bc = BlockFleetTrainer(mesh=mesh, seed=3).train(
+        build_blocks(), cc, max_steps=30, checkpoints=[15, 30],
+        resume_path=state)
+    for blk_b, blk_c in zip(bb, bc):
+        lb = jax.tree_util.tree_leaves(blk_b["params"])
+        lc = jax.tree_util.tree_leaves(blk_c["params"])
+        assert len(lb) == len(lc)
+        for x, y in zip(lb, lc):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), \\
+                blk_b["name"]
+    print(f"proc{pid} RESUME OK")
+""")
+
+
+@pytest.mark.skipif(os.environ.get("BRIEF_TPU_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_fleet_resume(tmp_path):
+    """Fleet checkpoint/resume across a real 2-process boundary: the state
+    save all-gathers sharded bucket stacks (collective, process-0 write),
+    the resume re-places them via host_to_global, and the resumed fleet is
+    bit-identical to the uninterrupted cross-process run."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker_fleet_resume.py"
+    script.write_text(WORKER_FLEET_RESUME)
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coord, "2", str(pid), str(shared)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
+        assert f"proc{pid} RESUME OK" in out
