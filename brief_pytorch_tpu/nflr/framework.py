@@ -313,10 +313,66 @@ class _BaseNFLR(_BaseCompressFramework):
         max_steps = int(t.max_steps)
         log_every = int(t.get("log_every_n_step", 100))
         val_every = int(t.get("val_every_n_step", max_steps))
+
+        # --- true resume (train/checkpoint.py; beyond the reference) ---
+        # NFLR training runs are the longest in this repo (tens of
+        # thousands of steps over conv nets); Train.resume continues a
+        # preempted run bit-identically: params, the module optimizer, the
+        # quantile optimizers, and the threaded PRNG key round-trip, and
+        # the seeded data pipeline is fast-forwarded (replayed without any
+        # training math or key draws) to the stored step.
+        from brief_pytorch_tpu.train import checkpoint as ckpt_lib
+        state_path = opj(save_dir, "trainstate.npz")
+        state_every = int(t.get("state_every_n_step", 0) or 0)
+        fingerprint = {
+            "kind": "nflr", "variant": type(self).__name__,
+            "y_channel": int(self.y_channel),
+            "phi": f"{self.opt.Module.phi.features}/"
+                   f"{self.opt.Module.phi.layers}",
+            "optimizer": str(t.optimizer_name_module),
+            "lr": float(t.lr_module), "seed": int(self.seed),
+            "batch": f"{t.batch_size}/{t.sample_size}",
+        }
+        aux_names = [n for n in ("_emy_opt", "_emz_opt") if hasattr(self, n)]
+
+        def _save_state(steps: int) -> None:
+            arrs = {"step": np.asarray(int(steps)),
+                    "fingerprint": ckpt_lib.fingerprint_bytes(fingerprint),
+                    "key": np.asarray(self._key)}
+            ckpt_lib.pack_tree(arrs, "p", self.params)
+            ckpt_lib.pack_tree(arrs, "o", opt_state)
+            for n in aux_names:
+                ckpt_lib.pack_tree(arrs, n, getattr(self, n))
+            ckpt_lib.atomic_savez(state_path, arrs)
+
+        start_step = 0
+        resume = str(t.get("resume", "none") or "none")
+        if resume != "none":
+            path = ckpt_lib.resolve_trainstate(resume)
+            with np.load(path) as z:
+                ckpt_lib.check_fingerprint(z, fingerprint, path)
+                self.params = ckpt_lib.unpack_tree(z, "p", self.params,
+                                                   "params")
+                opt_state = ckpt_lib.unpack_tree(z, "o", opt_state,
+                                                 "opt_state")
+                for n in aux_names:
+                    setattr(self, n, ckpt_lib.unpack_tree(
+                        z, n, getattr(self, n), n))
+                self._key = jnp.asarray(z["key"])
+                start_step = int(z["step"])
+            if start_step >= max_steps:
+                return
+
         steps = 0
         for epoch in range(int(1e8)):
             for (cropped, sampler, pc_shape, sideinfos) in dataset:
                 for (coords, values) in sampler:
+                    if steps < start_step:
+                        # fast-forward: the restored key and optimizer
+                        # states already account for these steps — replay
+                        # the (seeded) data pipeline only
+                        steps += 1
+                        continue
                     loss, opt_state = self.training_step(
                         cropped, pc_shape, sideinfos, coords, values,
                         tx, opt_state)
@@ -324,6 +380,13 @@ class _BaseNFLR(_BaseCompressFramework):
                     if Log is not None and steps % log_every == 0:
                         Log.log_metrics({"loss/train": float(loss)}, steps)
                     if steps % val_every == 0 or steps == max_steps:
+                        # evaluation compresses (SGA draws) with
+                        # self._next_key() — snapshot/restore so the
+                        # TRAINING key trajectory is independent of the
+                        # val cadence (and of resume points: the state
+                        # below must equal the key an uninterrupted run
+                        # has at this step)
+                        _train_key = self._key
                         self.save_module(
                             opj(save_dir, "trained_module",
                                 f"epoch_{epoch}_step_{steps}.pt"))
@@ -338,6 +401,10 @@ class _BaseNFLR(_BaseCompressFramework):
                                  "performance/compress_ratio":
                                      float(perf["compress_ratio"].mean())},
                                 steps)
+                        self._key = _train_key
+                    if (state_every and steps % state_every == 0) \
+                            or steps == max_steps:
+                        _save_state(steps)
                     if steps == max_steps:
                         return
 

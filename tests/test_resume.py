@@ -189,3 +189,42 @@ def test_cli_resume_flag(fast_opt, brain64_path, tmp_path):
     lc = load_model(os.path.join(tmp_path, "c", "clir", "steps40",
                                  "compressed", "module"))
     _tree_equal(lb, lc)
+
+
+def test_nflr_resume_bit_identical(tmp_path):
+    """NFLR family resume (nflr/framework._BaseNFLR.train): params, the
+    module optimizer, BOTH quantile optimizers (emy/emz), and the threaded
+    PRNG key round-trip; the seeded data pipeline is fast-forwarded — the
+    resumed run matches the uninterrupted one exactly."""
+    from test_nflr import _nflr_opt
+    from brief_pytorch_tpu.io.image import save_img
+    from brief_pytorch_tpu.nflr.framework import init_compressframework
+
+    rng = np.random.default_rng(0)
+    z, y, x = np.meshgrid(*[np.linspace(0, 1, 16)] * 3, indexing="ij")
+    vol = (20000 + 20000 * np.sin(4 * z) * np.cos(3 * y) * x
+           + rng.normal(0, 200, (16, 16, 16)))
+    train_dir = tmp_path / "train"
+    val_dir = tmp_path / "val"
+    train_dir.mkdir(), val_dir.mkdir()
+    for d in (train_dir, val_dir):
+        save_img(str(d / "vol.tif"),
+                 np.clip(vol, 0, 65535).astype(np.uint16)[..., None])
+
+    def run(tag, max_steps, state_every=0, resume="none"):
+        opt = _nflr_opt("NFLR_Coding_Hyper_AutoDecoder")
+        opt.Train.train_data_dir = str(train_dir)
+        opt.Train.val_data_dir = str(val_dir)
+        opt.Train.max_steps = max_steps
+        opt.Train.state_every_n_step = state_every
+        opt.Train.resume = resume
+        fw = init_compressframework(opt)
+        fw.train(str(tmp_path / tag))
+        return fw
+
+    run("a", 4, state_every=4)
+    state = tmp_path / "a" / "trainstate.npz"
+    assert state.is_file()
+    fb = run("b", 8)
+    fc = run("c", 8, resume=str(state))
+    _tree_equal(fb.params, fc.params)
