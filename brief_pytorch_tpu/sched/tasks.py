@@ -43,6 +43,13 @@ class Task:
     ets: int = 0
     result: object = None
     returncode: Optional[int] = None
+    # wall-clock bound for SUBPROCESS commands (a hung device — observed:
+    # the remote TPU worker dying mid-run — stalls a child forever without
+    # erroring, so the retry loop never fires).  On expiry the child's
+    # whole process group is killed (exact pgid, no pattern matching) and
+    # the task errors with returncode 124, entering the normal retry path.
+    # Callable tasks run in this thread and cannot be bounded this way.
+    timeout_s: Optional[float] = None
 
     device: object = None            # device assigned by the Queue, if any
 
@@ -71,8 +78,30 @@ class Task:
                            "BRIEF_TPU_DEVICE": dev,
                            "TPU_VISIBLE_CHIPS": dev,
                            "CUDA_VISIBLE_DEVICES": dev}
-                proc = subprocess.run(cmd, shell=True, env=env, **kwargs)
-                self.returncode = proc.returncode
+                if self.timeout_s is None:
+                    proc = subprocess.run(cmd, shell=True, env=env, **kwargs)
+                    self.returncode = proc.returncode
+                else:
+                    import os as _os
+                    import signal as _signal
+                    # own session so the WHOLE tree (sh -c + grandchildren)
+                    # can be killed by its exact pgid on expiry
+                    child = subprocess.Popen(cmd, shell=True, env=env,
+                                             start_new_session=True,
+                                             **kwargs)
+                    try:
+                        self.returncode = child.wait(timeout=self.timeout_s)
+                    except subprocess.TimeoutExpired:
+                        logging.error(
+                            "task %s exceeded %.0fs; killing its process "
+                            "group", self.name, self.timeout_s)
+                        try:
+                            _os.killpg(_os.getpgid(child.pid),
+                                       _signal.SIGKILL)
+                        except (ProcessLookupError, PermissionError):
+                            pass
+                        child.wait()
+                        self.returncode = 124
             self.status = "finish" if self.returncode == 0 else "error"
         except Exception:
             logging.exception("task %s raised", self.name)

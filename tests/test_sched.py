@@ -109,3 +109,28 @@ def test_subprocess_tasks_pinned_to_distinct_devices(tmp_path):
     assert env_devs == ["0", "1"], lines
     # slots are returned to the pool after completion
     assert all(t.device is None for t in tasks)
+
+
+class TestTaskTimeout:
+    def test_subprocess_timeout_kills_group_and_errors(self):
+        """A hung child (observed: a task against a dead TPU worker blocks
+        forever without erroring) is bounded by Task.timeout_s: the whole
+        process group is killed, the task errors with 124, and the normal
+        retry accounting applies."""
+        import time
+
+        from brief_pytorch_tpu.sched.tasks import Queue, Task
+        t = Task("sleep 30", name="hung", timeout_s=1.0)
+        q = Queue([t], max_retries=0)
+        t0 = time.time()
+        q.start()
+        assert time.time() - t0 < 10
+        assert t.status == "error" and t.returncode == 124
+        assert q.error_list == [t]
+
+    def test_subprocess_within_timeout_finishes(self):
+        from brief_pytorch_tpu.sched.tasks import Queue, Task
+        t = Task("true", name="fast", timeout_s=30.0)
+        q = Queue([t])
+        q.start()
+        assert t.status == "finish" and t.returncode == 0
