@@ -105,3 +105,30 @@ def test_mp4_video_compress_e2e(tmp_path):
     assert res["psnr"] > 20, res
     dec_dir = os.path.join(log.logdir, "steps500", "decompressed")
     assert os.path.exists(os.path.join(dec_dir, "v_decompressed.mp4"))
+
+
+def test_png_2d_divide_e2e(tmp_path):
+    """2-D DivideTask: quadrant partition (reference divide_type
+    'total_X_nh_nw' — the first field is ignored for 2-D inputs,
+    misc.py:369-377), a 4-block fleet with coords_channel=2, merge by the
+    2-D chunk names 'h_{y0}_{y1}-w_{x0}_{x1}' (misc.py:392)."""
+    from brief_pytorch_tpu.parallel.divide_runner import compress_divide
+
+    x = np.linspace(0, 2 * np.pi, 96)
+    img = ((np.sin(x[:, None]) * np.cos(x[None, :]) * 0.5 + 0.5)
+           * 255).astype(np.uint8)[..., None]
+    p = str(tmp_path / "img.png")
+    save_img(p, img)
+    opt = _single_opt(p, str(tmp_path), coords_channel=2, data_channel=1,
+                      max_steps=800, given_size=8000)
+    opt.CompressFramework.Compress.divide.divide_type = "total_1_2_2"
+    opt.CompressFramework.Compress.preprocess.denoise.close = [2, 2]
+    opt.CompressFramework.Decompress.postprocess.denoise.close = [2, 2]
+    opt.CompressFramework.Compress.sampler.cube_len = [10000000, 10000000]
+    log = MyLogger(**opt.Log.to_plain())
+    res = compress_divide(opt, log)
+    assert res["psnr"] > 30, res
+    mods = sorted(os.listdir(os.path.join(log.logdir, "steps800",
+                                          "compressed", "module")))
+    assert mods == ["h_0_47-w_0_47", "h_0_47-w_48_95",
+                    "h_48_95-w_0_47", "h_48_95-w_48_95"]
