@@ -771,7 +771,9 @@ class BlockFleetTrainer:
             "solo": [int(ss.block_idx) for ss in self._solo],
             "optimizer": str(cc.optimizer_name_phi), "lr": float(cc.lr_phi),
             "sampler": str(cc.sampler.name), "seed": int(self.seed),
-            "max_steps": int(max_steps),
+            "max_steps": int(max_steps), "half": bool(cc.half),
+            "loss": f"{cc.loss.name}/{float(cc.loss.get('beta', 0.01))}",
+            "coords_mode": str(cc.coords_mode),
         }
 
     def _save_state(self, path: str, step: int, fingerprint: Dict) -> None:

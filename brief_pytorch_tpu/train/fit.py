@@ -322,6 +322,7 @@ class NFGR:
             "lr": float(self.opt.Compress.lr_phi),
             "loss": f"{loss_name}/{beta}/{thres_norm}",
             "half": self.half, "data_shards": data_shards, "seed": self.seed,
+            "fused": bool(fused),   # the fused kernel's math ≠ XLA's bitwise
         }
         start_step = 0
         resume = str(self.opt.Compress.get("resume", "none") or "none")
