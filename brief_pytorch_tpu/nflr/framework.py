@@ -332,6 +332,7 @@ class _BaseNFLR(_BaseCompressFramework):
             "optimizer": str(t.optimizer_name_module),
             "lr": float(t.lr_module), "seed": int(self.seed),
             "batch": f"{t.batch_size}/{t.sample_size}",
+            "Lambda": float(t.get("Lambda", 0) or 0),   # RD trade-off
         }
         aux_names = [n for n in ("_emy_opt", "_emz_opt") if hasattr(self, n)]
 
