@@ -191,40 +191,75 @@ def test_cli_resume_flag(fast_opt, brain64_path, tmp_path):
     _tree_equal(lb, lc)
 
 
+_NFLR_RESUME_WORKER = r'''
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+sys.path.insert(0, sys.argv[1])         # tests/ (for test_nflr._nflr_opt)
+tmp = sys.argv[2]
+
+from test_nflr import _nflr_opt
+from brief_pytorch_tpu.io.image import save_img
+from brief_pytorch_tpu.nflr.framework import init_compressframework
+
+rng = np.random.default_rng(0)
+z, y, x = np.meshgrid(*[np.linspace(0, 1, 16)] * 3, indexing="ij")
+vol = (20000 + 20000 * np.sin(4 * z) * np.cos(3 * y) * x
+       + rng.normal(0, 200, (16, 16, 16)))
+for d in ("train", "val"):
+    os.makedirs(os.path.join(tmp, d), exist_ok=True)
+    save_img(os.path.join(tmp, d, "vol.tif"),
+             np.clip(vol, 0, 65535).astype(np.uint16)[..., None])
+
+
+def run(tag, max_steps, state_every=0, resume="none"):
+    opt = _nflr_opt("NFLR_Coding_Hyper_AutoDecoder")
+    opt.Train.train_data_dir = os.path.join(tmp, "train")
+    opt.Train.val_data_dir = os.path.join(tmp, "val")
+    opt.Train.max_steps = max_steps
+    opt.Train.state_every_n_step = state_every
+    opt.Train.resume = resume
+    fw = init_compressframework(opt)
+    fw.train(os.path.join(tmp, tag))
+    return fw
+
+
+run("a", 4, state_every=4)
+state = os.path.join(tmp, "a", "trainstate.npz")
+assert os.path.isfile(state)
+fb = run("b", 8)
+fc = run("c", 8, resume=state)
+la = jax.tree_util.tree_leaves(fb.params)
+lc = jax.tree_util.tree_leaves(fc.params)
+assert len(la) == len(lc)
+for a_, c_ in zip(la, lc):
+    assert np.array_equal(np.asarray(a_), np.asarray(c_))
+print("NFLR RESUME OK")
+'''
+
+
 def test_nflr_resume_bit_identical(tmp_path):
     """NFLR family resume (nflr/framework._BaseNFLR.train): params, the
     module optimizer, BOTH quantile optimizers (emy/emz), and the threaded
     PRNG key round-trip; the seeded data pipeline is fast-forwarded — the
-    resumed run matches the uninterrupted one exactly."""
-    from test_nflr import _nflr_opt
-    from brief_pytorch_tpu.io.image import save_img
-    from brief_pytorch_tpu.nflr.framework import init_compressframework
+    resumed run matches the uninterrupted one exactly.
 
-    rng = np.random.default_rng(0)
-    z, y, x = np.meshgrid(*[np.linspace(0, 1, 16)] * 3, indexing="ij")
-    vol = (20000 + 20000 * np.sin(4 * z) * np.cos(3 * y) * x
-           + rng.normal(0, 200, (16, 16, 16)))
-    train_dir = tmp_path / "train"
-    val_dir = tmp_path / "val"
-    train_dir.mkdir(), val_dir.mkdir()
-    for d in (train_dir, val_dir):
-        save_img(str(d / "vol.tif"),
-                 np.clip(vol, 0, 65535).astype(np.uint16)[..., None])
-
-    def run(tag, max_steps, state_every=0, resume="none"):
-        opt = _nflr_opt("NFLR_Coding_Hyper_AutoDecoder")
-        opt.Train.train_data_dir = str(train_dir)
-        opt.Train.val_data_dir = str(val_dir)
-        opt.Train.max_steps = max_steps
-        opt.Train.state_every_n_step = state_every
-        opt.Train.resume = resume
-        fw = init_compressframework(opt)
-        fw.train(str(tmp_path / tag))
-        return fw
-
-    run("a", 4, state_every=4)
-    state = tmp_path / "a" / "trainstate.npz"
-    assert state.is_file()
-    fb = run("b", 8)
-    fc = run("c", 8, resume=str(state))
-    _tree_equal(fb.params, fc.params)
+    Runs in a SUBPROCESS: inside the full-suite process (after the NFLR
+    tests' hundreds of accumulated compiled programs) the XLA CPU compiler
+    segfaults compiling this test's SGA program — reproducibly at the same
+    spot, while the test passes in any fresh process.  Isolation converts
+    an upstream-compiler crash into a deterministic pass."""
+    import subprocess
+    import sys
+    script = tmp_path / "worker_nflr_resume.py"
+    script.write_text(_NFLR_RESUME_WORKER)
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(tests_dir)}
+    p = subprocess.run(
+        [sys.executable, str(script), tests_dir, str(tmp_path)],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-3000:]
+    assert "NFLR RESUME OK" in p.stdout
