@@ -37,15 +37,20 @@ class RandomPointSampler:
     vector_len=1 (default) draws sample_size independent voxels — the
     reference's exact semantics.  vector_len=L>1 draws sample_size/L
     random CONTIGUOUS runs of L voxels instead (config
-    Compress.sampler.vector_len): the per-step value gather becomes a
-    batched L-wide slice fetch (vmapped dynamic_slice -> lax.gather with
-    L-element slices) instead of sample_size serial single-voxel loads —
-    the TPU gather pipeline is the measured bound of the narrow
-    randompoint shape class (RESULTS.md).  The draw stays marginally
-    uniform except within L-1 voxels of the two ends of the flattened
-    volume (run starts are clamped to [0, pop-L]); samples within a run
-    are spatially adjacent, i.e. step batches are slightly correlated —
-    an opt-in, documented divergence from the reference's iid draw.
+    Compress.sampler.vector_len).  When L divides the population the runs
+    are L-ALIGNED and the gather is a row fetch from a (pop/L, L*c)
+    reshape — XLA lowers it to one wide (L*c)-element load per run, which
+    the chip measured 1.5x faster than the iid per-voxel gather that
+    bounds the narrow randompoint class (scripts/gather_probe.py: flat
+    1.57 ms vs aligned rows 1.03 ms for 100k voxels of a 256^3 volume;
+    the vmapped-dynamic_slice form shipped first measured 2.7x SLOWER
+    than flat and is gone).  The aligned draw's per-voxel marginal is
+    EXACTLY uniform (each voxel lies in exactly one row); samples within
+    a run are spatially adjacent, i.e. step batches are correlated — an
+    opt-in, documented divergence from the reference's iid draw.  When
+    pop % L != 0 the starts are unaligned (clamped to [0, pop-L],
+    marginally uniform away from the flat ends) and the gather stays a
+    plain per-voxel fetch.
     """
     spatial_shape: Tuple[int, ...]   # (d, h, w) or (h, w)
     coords_mode: str
