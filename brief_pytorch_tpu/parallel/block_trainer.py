@@ -415,12 +415,13 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
             # contiguous along the LAST axis (runs must not cross rows —
             # the per-axis index math below is multiplies-only, and a
             # row-crossing run would need a traced-divisor decomposition).
-            # The value gather becomes vmapped dynamic_slice (batched
-            # L-wide slice fetches) instead of serial single-voxel loads.
-            # Run starts are clamped to [0, W-L] per row, so the marginal
-            # is uniform except within L-1 voxels of each row's ends.
+            # The fetch stays ONE flat gather of expanded run indices —
+            # the on-chip probe (scripts/gather_probe.py, fresh key per
+            # dispatch) measured this form fastest: 2.80 ms vs iid flat
+            # 3.55 ms vs the r3 vmapped dynamic_slice 4.47 ms at 100k
+            # voxels.  Run starts are clamped to [0, W-L] per row, so the
+            # marginal is uniform except within L-1 voxels of row ends.
             L = vector_len
-            c = data.shape[2]
             n_runs = -(-sample_size // L)
             starts = vector_run_starts(key_b, shape_b, L, n_runs)
             offs = jnp.zeros((L, ndim), jnp.int32).at[:, ndim - 1].set(
@@ -428,12 +429,9 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
             axes = (starts[:, None, :] + offs[None, :, :]
                     ).reshape(-1, ndim)[:sample_size]
             strides = row_major_strides(shape_b)
-            flat_start = jnp.sum(starts * strides, axis=-1)
-            runs_of = lambda arr: jax.vmap(
-                lambda s: jax.lax.dynamic_slice(arr, (s, 0), (L, c))
-            )(flat_start).reshape(-1, c)[:sample_size]
-            vals = runs_of(data_b)
-            wts = runs_of(weight_b) if weight is not None \
+            idx = jnp.sum(axes * strides, axis=-1)
+            vals = data_b[idx]
+            wts = weight_b[idx] if weight is not None \
                 else jnp.ones_like(vals)
             sample_valid = None
         else:

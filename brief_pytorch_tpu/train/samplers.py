@@ -37,20 +37,19 @@ class RandomPointSampler:
     vector_len=1 (default) draws sample_size independent voxels — the
     reference's exact semantics.  vector_len=L>1 draws sample_size/L
     random CONTIGUOUS runs of L voxels instead (config
-    Compress.sampler.vector_len).  When L divides the population the runs
-    are L-ALIGNED and the gather is a row fetch from a (pop/L, L*c)
-    reshape — XLA lowers it to one wide (L*c)-element load per run, which
-    the chip measured 1.5x faster than the iid per-voxel gather that
-    bounds the narrow randompoint class (scripts/gather_probe.py: flat
-    1.57 ms vs aligned rows 1.03 ms for 100k voxels of a 256^3 volume;
-    the vmapped-dynamic_slice form shipped first measured 2.7x SLOWER
-    than flat and is gone).  The aligned draw's per-voxel marginal is
-    EXACTLY uniform (each voxel lies in exactly one row); samples within
-    a run are spatially adjacent, i.e. step batches are correlated — an
-    opt-in, documented divergence from the reference's iid draw.  When
-    pop % L != 0 the starts are unaligned (clamped to [0, pop-L],
-    marginally uniform away from the flat ends) and the gather stays a
-    plain per-voxel fetch.
+    Compress.sampler.vector_len): run starts are drawn in [0, pop-L] and
+    expanded to per-voxel indices, and the value fetch stays ONE flat
+    gather of sample_size contiguous-in-runs indices.  On-chip probe with
+    a fresh key per dispatch (scripts/gather_probe.py, 100k voxels of a
+    256^3 volume): expanded-runs flat gather 2.80 ms vs iid flat 3.55 ms
+    vs aligned-row reshape 3.25 ms vs vmapped dynamic_slice 4.47 ms — so
+    the expanded form shipped here is the measured-fastest AND the only
+    form expressible in the fleet path (traced per-block strides, see
+    block_trainer.run_block_segment).  The per-voxel marginal is uniform
+    except within L-1 voxels of the flat array's ends (starts are clamped
+    to [0, pop-L]); samples within a run are spatially adjacent, i.e.
+    step batches are correlated — an opt-in, documented divergence from
+    the reference's iid draw.
     """
     spatial_shape: Tuple[int, ...]   # (d, h, w) or (h, w)
     coords_mode: str
@@ -70,17 +69,14 @@ class RandomPointSampler:
             wts = weight_flat[idx] if weight_flat is not None \
                 else jnp.ones_like(vals)
         else:
-            c = data_flat.shape[1]
             n_runs = -(-self.sample_size // L)
             starts = jax.random.randint(key, (n_runs,), 0,
                                         max(1, pop - L + 1))
-            slice_of = lambda arr: jax.vmap(
-                lambda s: jax.lax.dynamic_slice(arr, (s, 0), (L, c)))(starts)
             idx = ((starts[:, None] + jnp.arange(L)[None, :])
                    .reshape(-1)[:self.sample_size])
-            vals = slice_of(data_flat).reshape(-1, c)[:self.sample_size]
-            wts = slice_of(weight_flat).reshape(-1, c)[:self.sample_size] \
-                if weight_flat is not None else jnp.ones_like(vals)
+            vals = data_flat[idx]
+            wts = weight_flat[idx] if weight_flat is not None \
+                else jnp.ones_like(vals)
         coords = index_to_coords(idx, self.spatial_shape, self.coords_mode,
                                  data_flat.dtype)
         return coords, vals, wts

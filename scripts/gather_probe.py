@@ -31,15 +31,17 @@ L = 32
 REPS = 30
 
 
-def timeit(fn, *args):
-    out = fn(*args)
+def timeit(fn, key):
+    out = fn(key)
     jax.block_until_ready(out)
     np.asarray(out[:4])                     # force a (tiny) host sync
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(REPS):
-            out = fn(*args)
+        for i in range(REPS):
+            # fresh key per dispatch — training folds a new key each step,
+            # so reusing one would flatter index-reuse-friendly formulations
+            out = fn(jax.random.fold_in(key, i))
         np.asarray(out[:4])
         best = min(best, (time.perf_counter() - t0) / REPS)
     return best
@@ -74,8 +76,18 @@ def main():
         r = jax.random.randint(k, (n_runs,), 0, POP // L)
         return jnp.take(rows, r, axis=0).reshape(-1)
 
+    @jax.jit
+    def expand(k):
+        # unaligned runs expressed as a plain flat gather of expanded
+        # contiguous indices — the only form available to the fleet path,
+        # whose strides are traced (block_trainer.vector_run_starts)
+        starts = jax.random.randint(k, (n_runs,), 0, POP - L + 1)
+        idx = (starts[:, None] + jnp.arange(L)[None, :]).reshape(-1)
+        return data[idx].reshape(-1)
+
     for name, fn in [("flat", flat), ("dynslice", dynslice),
-                     ("aligned", aligned), ("take_rows", take_rows)]:
+                     ("aligned", aligned), ("take_rows", take_rows),
+                     ("expand", expand)]:
         ms = timeit(fn, key) * 1e3
         print(f"{name:10s} {ms:8.3f} ms/step  "
               f"{N / (ms / 1e3) / 1e6:9.1f} Mvox/s")
