@@ -426,6 +426,22 @@ class _BaseNFLR(_BaseCompressFramework):
                       tx, opt_state):
         raise NotImplementedError
 
+    def training_segment(self, cropped, pc_shape, sideinfos, coords, values,
+                         tx, opt_state, n_steps: int):
+        """n_steps of training as one call -> (losses (n_steps,), opt_state).
+
+        Default: a host loop over training_step (exact per-step key walk).
+        The coding/hyper variants override this with a single scan-fused
+        device program (_fused_training_segment) — the form long training
+        runs and RD sweeps should use.
+        """
+        losses = []
+        for _ in range(int(n_steps)):
+            loss, opt_state = self.training_step(
+                cropped, pc_shape, sideinfos, coords, values, tx, opt_state)
+            losses.append(loss)
+        return jnp.stack([jnp.asarray(l) for l in losses]), opt_state
+
     # ---------------------------------------------------------- compress ---
     def compress(self, data_path_list: List[str], save_path: str = None):
         """(reference CompressFramework.py:226-241)"""
@@ -704,6 +720,64 @@ def _quantile_step(emy_params, opt_state, tx):
     return optax.apply_updates(emy_params["quantiles"], upd), opt_state, loss
 
 
+@partial(jax.jit, static_argnames=("tx", "tx_y", "tx_z", "tx_q",
+                                   "argmin_steps", "loss_un", "n_steps",
+                                   "n", "y_channel", "z_channel",
+                                   "pc_shape", "mode", "em_key"))
+def _fused_training_segment(params, opt_state, q_opt, key, cropped, coords,
+                            values, Lambda, *, tx, tx_y, tx_z, tx_q,
+                            argmin_steps, loss_un, n_steps, n, y_channel,
+                            z_channel, pc_shape, mode, em_key):
+    """n_steps NFLR training steps fused into ONE lax.scan program.
+
+    The per-step API (training_step) pays a host->device batch upload and
+    a dispatch round-trip per step — over the dev tunnel that bounds
+    training at a few steps/s regardless of chip speed.  This runs the
+    SAME per-step math (the per-variant jitted step + the quantile
+    auxiliary step, reference CompressFramework.py:301-309 + Networks.py:
+    1070-1074) with everything device-resident, folding one segment key
+    into per-step keys (a deterministic stream, though not the same
+    stream as n calls to training_step, which draws from the framework's
+    stateful key walk).  mode: coding_ad | coding_ae | hyper_ad |
+    hyper_ae; em_key names the factorized model whose quantiles get the
+    auxiliary update (emy / emz).
+    """
+    def qstep(p, qo):
+        def loss_f(q):
+            return em.quantile_loss({**p[em_key], "quantiles": q})
+        g = jax.grad(loss_f)(p[em_key]["quantiles"])
+        upd, qo = tx_q.update(g, qo, p[em_key]["quantiles"])
+        q = optax.apply_updates(p[em_key]["quantiles"], upd)
+        return {**p, em_key: {**p[em_key], "quantiles": q}}, qo
+
+    def step(carry, k):
+        p, o, qo = carry
+        if mode == "coding_ad":
+            k1, k2 = jax.random.split(k)
+            y0 = init_y(k1, n, y_channel, pc_shape)
+            loss, p, o = _coding_autodecoder_step(
+                p, o, y0, k2, coords, values, Lambda, tx=tx, tx_y=tx_y,
+                argmin_steps=argmin_steps, loss_un=loss_un)
+        elif mode == "hyper_ad":
+            k1, k2, k3 = jax.random.split(k, 3)
+            y0 = init_y(k1, n, y_channel, pc_shape)
+            z0 = init_z(k2, n, z_channel, pc_shape)
+            loss, p, o = _hyper_autodecoder_step(
+                p, o, y0, z0, k3, coords, values, Lambda, tx=tx, tx_y=tx_y,
+                tx_z=tx_z, argmin_steps=argmin_steps, loss_un=loss_un)
+        else:  # coding_ae / hyper_ae: plain module step on the AE loss
+            loss, p, o = _module_step(
+                p, o, (k, cropped, coords, values, Lambda),
+                loss_fn=loss_un, tx=tx)
+        p, qo = qstep(p, qo)
+        return (p, o, qo), loss
+
+    keys = jax.random.split(key, n_steps)
+    (params, opt_state, q_opt), losses = jax.lax.scan(
+        step, (params, opt_state, q_opt), keys)
+    return losses, params, opt_state, q_opt
+
+
 @partial(jax.jit, static_argnames=("tx_y", "loss_fn"))
 def _sga_y_step(params, y, opt_y, key, coords, values, Lambda, tau, *,
                 tx_y, loss_fn):
@@ -761,6 +835,25 @@ class NFLR_Coding_AutoDecoder(_NFLR_Coding):
         self.update_quantiles_once()
         return loss, opt_state
 
+    def training_segment(self, cropped, pc_shape, sideinfos, coords, values,
+                         tx, opt_state, n_steps: int):
+        t = self.opt.Train
+        losses, new_params, opt_state, self._emy_opt = \
+            _fused_training_segment(
+                self._coding_params(), opt_state, self._emy_opt,
+                self._next_key(), jnp.asarray(cropped), coords, values,
+                float(t.Lambda), tx=tx,
+                tx_y=self._opt_tx(t.optimizer_name_y, t.lr_y), tx_z=None,
+                tx_q=self._emy_tx, argmin_steps=int(t.argmin_steps),
+                loss_un=self._loss_rd_un, n_steps=int(n_steps),
+                n=int(sideinfos["data_shape"][0]),
+                y_channel=self.y_channel, z_channel=0,
+                pc_shape=tuple(int(x) for x in pc_shape),
+                mode="coding_ad", em_key="emy")
+        self._set_module_params(new_params)
+        self.params["emy"] = new_params["emy"]
+        return losses, opt_state
+
 
 class NFLR_Coding_AutoEncoder(_NFLR_Coding):
     """(reference CompressFramework.py:419-439)"""
@@ -795,6 +888,22 @@ class NFLR_Coding_AutoEncoder(_NFLR_Coding):
         self._set_module_params(new_params)
         self.update_quantiles_once()
         return loss, opt_state
+
+    def training_segment(self, cropped, pc_shape, sideinfos, coords, values,
+                         tx, opt_state, n_steps: int):
+        losses, new_params, opt_state, self._emy_opt = \
+            _fused_training_segment(
+                {k: self.params[k] for k in self.MODULE_KEYS}, opt_state,
+                self._emy_opt, self._next_key(), jnp.asarray(cropped),
+                coords, values, float(self.opt.Train.Lambda), tx=tx,
+                tx_y=None, tx_z=None, tx_q=self._emy_tx, argmin_steps=0,
+                loss_un=self._ae_rd_loss, n_steps=int(n_steps),
+                n=int(sideinfos["data_shape"][0]),
+                y_channel=self.y_channel, z_channel=0,
+                pc_shape=tuple(int(x) for x in pc_shape),
+                mode="coding_ae", em_key="emy")
+        self._set_module_params(new_params)
+        return losses, opt_state
 
 
 # --------------------------------------------------------------------------
@@ -1017,6 +1126,26 @@ class NFLR_Coding_Hyper_AutoDecoder(_NFLR_Coding_Hyper):
         self.update_z_quantiles_once()
         return loss, opt_state
 
+    def training_segment(self, cropped, pc_shape, sideinfos, coords, values,
+                         tx, opt_state, n_steps: int):
+        t = self.opt.Train
+        losses, new_params, opt_state, self._emz_opt = \
+            _fused_training_segment(
+                self._hyper_params(), opt_state, self._emz_opt,
+                self._next_key(), jnp.asarray(cropped), coords, values,
+                float(t.Lambda), tx=tx,
+                tx_y=self._opt_tx(t.optimizer_name_y, t.lr_y),
+                tx_z=self._opt_tx(t.optimizer_name_z, t.lr_z),
+                tx_q=self._emz_tx, argmin_steps=int(t.argmin_steps),
+                loss_un=self._loss_rd_hyper_un, n_steps=int(n_steps),
+                n=int(sideinfos["data_shape"][0]),
+                y_channel=self.y_channel, z_channel=self.z_channel,
+                pc_shape=tuple(int(x) for x in pc_shape),
+                mode="hyper_ad", em_key="emz")
+        for k in self.MODULE_KEYS:
+            self.params[k] = new_params[k]
+        return losses, opt_state
+
     def _module_params(self):
         return {k: self.params[k] for k in ("phi", "gmod")}
 
@@ -1068,6 +1197,23 @@ class NFLR_Coding_Hyper_AutoEncoder(_NFLR_Coding_Hyper):
             self.params[k] = new_params[k]
         self.update_z_quantiles_once()
         return loss, opt_state
+
+    def training_segment(self, cropped, pc_shape, sideinfos, coords, values,
+                         tx, opt_state, n_steps: int):
+        losses, new_params, opt_state, self._emz_opt = \
+            _fused_training_segment(
+                {k: self.params[k] for k in self.TRAIN_KEYS}, opt_state,
+                self._emz_opt, self._next_key(), jnp.asarray(cropped),
+                coords, values, float(self.opt.Train.Lambda), tx=tx,
+                tx_y=None, tx_z=None, tx_q=self._emz_tx, argmin_steps=0,
+                loss_un=self._ae_hyper_loss, n_steps=int(n_steps),
+                n=int(sideinfos["data_shape"][0]),
+                y_channel=self.y_channel, z_channel=self.z_channel,
+                pc_shape=tuple(int(x) for x in pc_shape),
+                mode="hyper_ae", em_key="emz")
+        for k in self.TRAIN_KEYS:
+            self.params[k] = new_params[k]
+        return losses, opt_state
 
     def _module_params(self):
         return {k: self.params[k] for k in ("phi", "gmod")}

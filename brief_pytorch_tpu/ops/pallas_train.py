@@ -84,7 +84,12 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
       coords (C, tile), values (Cout, tile), weights (Cout, tile),
       then per layer: wt (fout, fin), w (fin, fout), b (fout, 1),
       outputs: loss (1,1) SMEM, per layer dwt (fout, fin), db (fout, 1),
-      scratch: per layer z_l (f_l, tile).
+      scratch: per layer z_l (f_l, tile), then per HIDDEN layer
+      h_l (f_l, tile) — post-activations are stored, not recomputed: the
+      step is transcendental-bound (RESULTS.md attribution), and
+      recomputing act(z) in the backward dW contraction costs a third
+      sine eval per hidden activation (3 vs the XLA path's 2), which is
+      exactly the regime where the r3 kernel measured 0.93x XLA.
     """
     n_in = 3 + 3 * n_layers
 
@@ -97,7 +102,9 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
         loss_ref = refs[n_in]
         dwt_refs = [refs[n_in + 1 + 2 * l] for l in range(n_layers)]
         db_refs = [refs[n_in + 1 + 2 * l + 1] for l in range(n_layers)]
-        z_refs = list(refs[n_in + 1 + 2 * n_layers:])
+        scratch = list(refs[n_in + 1 + 2 * n_layers:])
+        z_refs = scratch[:n_layers]
+        h_refs = scratch[n_layers:]          # hidden layers only (n-1)
 
         i = pl.program_id(0)
 
@@ -113,6 +120,8 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
             z_refs[l][:] = z
             act, w0 = acts[l]
             h = _act_fm(z, act, w0)
+            if l < n_layers - 1:
+                h_refs[l][:] = h
         pred = h  # (Cout, tile)
 
         # ---- loss + dL/dpred (sum form; caller divides by N*Cout) ----
@@ -155,13 +164,12 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
 
         loss_ref[0, 0] += loss_tile
 
-        # ---- backward (reverse chain, activations recomputed from z_l) ----
+        # ---- backward (reverse chain, stored activations re-read) ----
         for l in range(n_layers - 1, -1, -1):
             if l == 0:
                 h_prev = coords_ref[:]
             else:
-                act_p, w0_p = acts[l - 1]
-                h_prev = _act_fm(z_refs[l - 1][:], act_p, w0_p)
+                h_prev = h_refs[l - 1][:]
             # dWt_l = g (fout, tile) contracted with h_prev (fin, tile)
             gl = g.astype(compute_dtype) if compute_dtype else g
             hp = h_prev.astype(gl.dtype)
@@ -219,6 +227,9 @@ def _fused_grads_padded(coords_t, values_t, weights_t, wts, ws, bs,
 
     scratch = [pltpu.VMEM((wts[l].shape[0], tile), jnp.float32)
                for l in range(n_layers)]
+    # stored post-activations for the backward pass (hidden layers only)
+    scratch += [pltpu.VMEM((wts[l].shape[0], tile), jnp.float32)
+                for l in range(n_layers - 1)]
 
     param_count = sum(w.size + b.size for w, b in zip(ws, bs))
     flops = 3 * sum(2 * tile * w.shape[0] * w.shape[1] for w in ws) * grid[0]
@@ -259,6 +270,11 @@ def fused_train_grads(layers, coords_t, values_t, weights_t, acts: LayerSpec,
     """
     n = coords_t.shape[1]
     tile = min(tile, _round_up(n, 512))
+    # keep (z + h) scratch within a conservative VMEM budget: (2L-1)
+    # feature-major activation tiles of the widest layer
+    rows = sum(l["w"].shape[1] for l in layers) * 2 - layers[-1]["w"].shape[1]
+    while tile > 512 and rows * tile * 4 > 8 * 1024 * 1024:
+        tile //= 2
     n_pad = _round_up(n, tile)
     if n_pad != n:
         pad = ((0, 0), (0, n_pad - n))

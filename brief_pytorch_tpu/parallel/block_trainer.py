@@ -409,18 +409,49 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
                 else jnp.ones_like(vals)
             sample_valid = None
             axes = pos.reshape(-1, ndim)
+        elif vector_len > 1 and data.shape[1] % vector_len == 0 \
+                and data.shape[1] <= (1 << 24):
+            # vectorised randompoint, ALIGNED-ROWS form (the solo
+            # sampler's fast path, train/samplers.py): draw
+            # sample_size/L row indices of the (Vmax/L, L*c)-reshaped
+            # stack — the gather pays its per-index cost L-times less
+            # often (on-chip in-step A/B, scripts/instep_gather_ab.py:
+            # the solo narrow step went 1.69 -> 0.25 ms/step, AT its
+            # no-gather floor).  Rows are confined to the valid prefix
+            # (r < valid//L — `//` by the CONSTANT L is a cheap
+            # multiply-shift, unlike the traced-divisor case in the NOTE
+            # above), so padding voxels are never sampled; when
+            # valid % L != 0 the final partial row is never drawn (up to
+            # L-1 voxels per block unsampled — documented divergence).
+            # Runs may cross spatial rows (contiguous in flat order);
+            # per-voxel axes come from flat_to_axes24, exact because
+            # Vmax <= 2^24 is a branch precondition.
+            L = vector_len
+            c = data.shape[2]
+            n_runs = -(-sample_size // L)
+            n_rows = jnp.maximum(valid_b // L, 1)
+            u = jax.random.uniform(key_b, (n_runs,))
+            r = jnp.minimum((u * n_rows.astype(u.dtype)).astype(jnp.int32),
+                            n_rows - 1)
+            idx = ((r[:, None] * L + jnp.arange(L)[None, :])
+                   .reshape(-1)[:sample_size])
+            row_take = lambda arr: (arr.reshape(data.shape[1] // L, L * c)
+                                    [r].reshape(-1, c)[:sample_size])
+            vals = row_take(data_b)
+            wts = row_take(weight_b) if weight is not None \
+                else jnp.ones_like(vals)
+            sample_valid = None
+            axes = flat_to_axes24(idx, shape_b)
         elif vector_len > 1:
-            # vectorised randompoint (Compress.sampler.vector_len, see
-            # train/samplers.py): draw sample_size/L runs of L voxels
-            # contiguous along the LAST axis (runs must not cross rows —
-            # the per-axis index math below is multiplies-only, and a
-            # row-crossing run would need a traced-divisor decomposition).
-            # The fetch stays ONE flat gather of expanded run indices —
-            # the on-chip probe (scripts/gather_probe.py, fresh key per
-            # dispatch) measured this form fastest: 2.80 ms vs iid flat
-            # 3.55 ms vs the r3 vmapped dynamic_slice 4.47 ms at 100k
-            # voxels.  Run starts are clamped to [0, W-L] per row, so the
-            # marginal is uniform except within L-1 voxels of row ends.
+            # vectorised randompoint, row-contained fallback (stacks too
+            # big for exact flat->axes math): draw sample_size/L runs of
+            # L voxels contiguous along the LAST axis (runs must not
+            # cross rows — the per-axis index math below is
+            # multiplies-only, and a row-crossing run would need a
+            # traced-divisor decomposition).  The fetch is ONE flat
+            # gather of expanded run indices.  Run starts are clamped to
+            # [0, W-L] per row, so the marginal is uniform except within
+            # L-1 voxels of row ends.
             L = vector_len
             n_runs = -(-sample_size // L)
             starts = vector_run_starts(key_b, shape_b, L, n_runs)
@@ -837,10 +868,6 @@ class BlockFleetTrainer:
         spec, params_layers, masks, enc = build_stacked(
             models, jax.random.PRNGKey(self.seed),
             [b.get("init_layers") for b in sub])
-        batch = BlockBatch.build(sub)
-        # all-ones weights (the default) skip the weight stack entirely:
-        # halves the fleet's HBM residency and the per-step gather traffic
-        unit_weight = all(bool(np.all(b["weight"] == 1.0)) for b in sub)
 
         # effective bucket sampler: the clipped cube is bucket-static; when
         # it covers EVERY block exactly, each cube is the whole block and
@@ -854,6 +881,20 @@ class BlockFleetTrainer:
             if all(tuple(b["data_norm"].shape[:-1]) == cube_len
                    for b in sub):
                 sampler_name = "fullbatch"
+        # clamp runs to the bucket's shortest last axis (keeps both vec
+        # gather forms valid); non-randompoint buckets pin 1 (vector_len
+        # is a static jit arg — varying it would split their compile cache)
+        vec = (min(int(cc.sampler.get("vector_len", 1) or 1),
+                   min(int(b["data_norm"].shape[-2]) for b in sub))
+               if sampler_name == "randompoint" else 1)
+
+        # pad the stacked voxel axis to a multiple of vector_len so the
+        # randompoint vec path can take the aligned-rows gather (its
+        # Vmax % L == 0 precondition in run_block_segment)
+        batch = BlockBatch.build(sub, pad_multiple=max(1, vec))
+        # all-ones weights (the default) skip the weight stack entirely:
+        # halves the fleet's HBM residency and the per-step gather traffic
+        unit_weight = all(bool(np.all(b["weight"] == 1.0)) for b in sub)
 
         # pad the block axis to a multiple of the mesh's block shards
         # (an SPMD axis must divide evenly; padded entries clone block 0 and
@@ -917,14 +958,7 @@ class BlockFleetTrainer:
             tx=tx, key=jax.random.PRNGKey(self.seed + 1),
             thres=put(thres_arr), mesh=mesh,
             use_thres=bool(np.any(thres_host != 0.0)),
-            sampler_name=sampler_name, cube_len=cube_len,
-            # clamp runs to the bucket's shortest last axis so a run never
-            # crosses a row; non-randompoint buckets pin 1 (vector_len is a
-            # static jit arg — varying it would split their compile cache)
-            vector_len=min(int(cc.sampler.get("vector_len", 1) or 1),
-                           min(int(b["data_norm"].shape[-2])
-                               for b in sub))
-            if sampler_name == "randompoint" else 1)
+            sampler_name=sampler_name, cube_len=cube_len, vector_len=vec)
 
     def _prepare_solo(self, blocks: List[Dict], idx: int, cc,
                       fleet_max_steps: int, solo_slot: int = 0

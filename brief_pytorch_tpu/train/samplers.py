@@ -37,19 +37,21 @@ class RandomPointSampler:
     vector_len=1 (default) draws sample_size independent voxels — the
     reference's exact semantics.  vector_len=L>1 draws sample_size/L
     random CONTIGUOUS runs of L voxels instead (config
-    Compress.sampler.vector_len): run starts are drawn in [0, pop-L] and
-    expanded to per-voxel indices, and the value fetch stays ONE flat
-    gather of sample_size contiguous-in-runs indices.  On-chip probe with
-    a fresh key per dispatch (scripts/gather_probe.py, 100k voxels of a
-    256^3 volume): expanded-runs flat gather 2.80 ms vs iid flat 3.55 ms
-    vs aligned-row reshape 3.25 ms vs vmapped dynamic_slice 4.47 ms — so
-    the expanded form shipped here is the measured-fastest AND the only
-    form expressible in the fleet path (traced per-block strides, see
-    block_trainer.run_block_segment).  The per-voxel marginal is uniform
-    except within L-1 voxels of the flat array's ends (starts are clamped
-    to [0, pop-L]); samples within a run are spatially adjacent, i.e.
-    step batches are correlated — an opt-in, documented divergence from
-    the reference's iid draw.
+    Compress.sampler.vector_len).  When L divides the population the runs
+    are L-ALIGNED: the fetch is a gather of sample_size/L ROW indices of
+    a (pop/L, L*c) reshape, paying the gather's per-index cost L-times
+    less often (the in-step A/B on-chip is in scripts/instep_gather_ab.py
+    / RESULTS.md; the standalone-dispatch probe in gather_probe.py is
+    dispatch-dominated and CANNOT rank these forms), and each voxel lies
+    in exactly one row so the per-voxel marginal is EXACTLY uniform.
+    When L does not divide the population, starts are drawn in
+    [0, pop-L] and expanded to per-voxel indices for one flat gather
+    (marginal uniform except within L-1 voxels of the flat ends).
+    Samples within a run are spatially adjacent, i.e. step batches are
+    correlated — an opt-in, documented divergence from the reference's
+    iid draw.  The fleet path (block_trainer.run_block_segment) keeps
+    the expanded form: its per-block strides are traced, so the aligned
+    reshape is inexpressible there.
     """
     spatial_shape: Tuple[int, ...]   # (d, h, w) or (h, w)
     coords_mode: str
@@ -68,7 +70,24 @@ class RandomPointSampler:
             vals = data_flat[idx]
             wts = weight_flat[idx] if weight_flat is not None \
                 else jnp.ones_like(vals)
+        elif pop % L == 0:
+            # aligned rows: draw sample_size/L row indices of a
+            # (pop/L, L*c) reshape — the gather pays its per-index cost
+            # only n_runs times while moving the same bytes, and each
+            # voxel lies in exactly one row so the per-voxel marginal is
+            # EXACTLY uniform
+            c = data_flat.shape[1]
+            n_runs = -(-self.sample_size // L)
+            r = jax.random.randint(key, (n_runs,), 0, pop // L)
+            idx = ((r[:, None] * L + jnp.arange(L)[None, :])
+                   .reshape(-1)[:self.sample_size])
+            row_take = lambda a: (a.reshape(pop // L, L * c)[r]
+                                  .reshape(-1, c)[:self.sample_size])
+            vals = row_take(data_flat)
+            wts = row_take(weight_flat) if weight_flat is not None \
+                else jnp.ones_like(vals)
         else:
+            # unaligned fallback: expanded contiguous runs, one flat gather
             n_runs = -(-self.sample_size // L)
             starts = jax.random.randint(key, (n_runs,), 0,
                                         max(1, pop - L + 1))

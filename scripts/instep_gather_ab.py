@@ -1,0 +1,110 @@
+"""In-step gather A/B for the narrow randompoint class (VERDICT r3 #5).
+
+The standalone-dispatch probe (gather_probe.py) is dispatch-dominated —
+its per-call times (~3 ms) EXCEED the whole fused training step (1.66 ms)
+— so it cannot rank gather formulations.  This script times the REAL
+jitted scan-fused training segment (train/fit.run_segment) on the chip
+with the narrow-class workload (SIREN f=22 L=5, randompoint 100k/step on
+the 64^3 fixture) for each sampler form, plus attribution ablations:
+
+  flat        vector_len=1 (reference iid semantics)
+  vec32       vector_len=32 (aligned row gather when pop % 32 == 0)
+  vec128      vector_len=128
+  nogather    sampler replaced by a contiguous slice (keeps RNG + coords
+              regen + train math; isolates the gather's in-step cost)
+
+Run on TPU from the repo root:  python scripts/instep_gather_ab.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from dataclasses import dataclass
+from typing import Tuple
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_STEPS = 600
+SAMPLE = 100_000
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from brief_pytorch_tpu.core.coords import index_to_coords
+    from brief_pytorch_tpu.core.normalize import normalize_data
+    from brief_pytorch_tpu.io.image import read_img
+    from brief_pytorch_tpu.models.phi import init_phi
+    from brief_pytorch_tpu.train.fit import run_segment
+    from brief_pytorch_tpu.train.optim import make_optimizer
+    from brief_pytorch_tpu.train.samplers import RandomPointSampler
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data = read_img(os.path.join(here, "dataset", "brain", "64x64x64",
+                                 "brain-64_128-64_128-192_256.tif"))
+    data_norm, _ = normalize_data(data, "minmaxany_0_100")
+    dev_data = jnp.asarray(data_norm.reshape(-1, 1))
+    dev_weight = jnp.ones_like(dev_data)
+
+    model = init_phi({"name": "SIREN", "coords_channel": 3,
+                      "data_channel": 1, "features": 22, "layers": 5,
+                      "w0": 20, "res": False, "output_act": False})
+    tx = make_optimizer("Adamax", 1e-3, {"name": "none"})
+
+    @dataclass(frozen=True)
+    class NoGatherSampler:
+        """Contiguous slice instead of the gather: everything else (RNG,
+        coords regen, forward/backward/update) unchanged."""
+        spatial_shape: Tuple[int, ...]
+        coords_mode: str
+        sample_size: int
+
+        def sample(self, key, data_flat, weight_flat):
+            pop = data_flat.shape[0]
+            start = jax.random.randint(key, (), 0, pop - self.sample_size)
+            idx = jnp.arange(self.sample_size)
+            vals = jax.lax.dynamic_slice(
+                data_flat, (start, 0), (self.sample_size, 1))
+            wts = jnp.ones_like(vals)
+            coords = index_to_coords(idx + start, self.spatial_shape,
+                                     self.coords_mode, data_flat.dtype)
+            return coords, vals, wts
+
+    def bench(name, sampler):
+        params = model.init(jax.random.PRNGKey(42))
+        opt_state = tx.init(params)
+        kwargs = dict(weight_thres=100.0, model=model, sampler=sampler,
+                      tx=tx, loss_name="datal2", beta=0.01, half=False)
+        state = {"p": params, "o": opt_state}
+
+        def run(seed):
+            state["p"], state["o"], losses = run_segment(
+                state["p"], state["o"], dev_data, dev_weight,
+                jax.random.PRNGKey(seed), n_steps=N_STEPS, **kwargs)
+            return losses
+
+        out = run(0)
+        np.asarray(out)                       # sync (tunnel-safe)
+        best = float("inf")
+        for r in range(3):
+            t0 = time.perf_counter()
+            out = run(1 + r)
+            np.asarray(out)
+            best = min(best, time.perf_counter() - t0)
+        ms = best / N_STEPS * 1e3
+        print(json.dumps({"variant": name, "ms_per_step": round(ms, 4),
+                          "coords_per_sec": round(SAMPLE / (ms / 1e3))}),
+              flush=True)
+
+    bench("flat", RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 1))
+    bench("vec32", RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 32))
+    bench("vec128", RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 128))
+    bench("nogather", NoGatherSampler((64, 64, 64), "-1,1", SAMPLE))
+
+
+if __name__ == "__main__":
+    main()

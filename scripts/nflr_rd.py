@@ -125,24 +125,49 @@ def main():
 
     steps, t0 = 0, time.time()
     losses = []
-    done = False
-    while not done:
-        for (cropped, sampler, pc_shape, side) in ds:
-            for (coords, values) in sampler:
-                loss, opt_state = fw.training_step(
-                    cropped, pc_shape, side, coords, values, tx, opt_state)
-                steps += 1
-                if steps % 500 == 0 or steps == args.steps:
-                    losses.append((steps, float(loss)))
-                    el = time.time() - t0
-                    print(f"[{tag}] step {steps}/{args.steps} "
-                          f"loss {losses[-1][1]:.4f} "
-                          f"({steps / el:.2f} steps/s)", flush=True)
-                if steps >= args.steps:
-                    done = True
+    cropped, sampler, pc_shape, side = next(iter(ds))
+    if len(sampler) == 1:
+        # the whole patch population fits one batch (ps^3 <= sample_size):
+        # every per-step batch IS the full population (batch-internal
+        # permutation is loss-irrelevant), so the scan-fused
+        # training_segment runs the exact per-step math at device speed.
+        # SEG-step dispatches keep each device call well under the remote
+        # watchdog budget (CLAUDE.md: minute-long dispatches kill the
+        # worker).
+        import jax.numpy as jnp
+        coords, values = next(iter(sampler))
+        coords, values = jnp.asarray(coords), jnp.asarray(values)
+        SEG = 500
+        while steps < args.steps:
+            seg = min(SEG, args.steps - steps)
+            seg_losses, opt_state = fw.training_segment(
+                cropped, pc_shape, side, coords, values, tx, opt_state, seg)
+            steps += seg
+            losses.append((steps, float(np.asarray(seg_losses)[-1])))
+            el = time.time() - t0
+            print(f"[{tag}] step {steps}/{args.steps} "
+                  f"loss {losses[-1][1]:.4f} "
+                  f"({steps / el:.2f} steps/s)", flush=True)
+    else:
+        done = False
+        while not done:
+            for (cropped, sampler, pc_shape, side) in ds:
+                for (coords, values) in sampler:
+                    loss, opt_state = fw.training_step(
+                        cropped, pc_shape, side, coords, values, tx,
+                        opt_state)
+                    steps += 1
+                    if steps % 500 == 0 or steps == args.steps:
+                        losses.append((steps, float(loss)))
+                        el = time.time() - t0
+                        print(f"[{tag}] step {steps}/{args.steps} "
+                              f"loss {losses[-1][1]:.4f} "
+                              f"({steps / el:.2f} steps/s)", flush=True)
+                    if steps >= args.steps:
+                        done = True
+                        break
+                if done:
                     break
-            if done:
-                break
 
     # --- compress to a real container + bits round trip ---
     comp_path = os.path.join(args.out, tag + ".zip")

@@ -3,6 +3,8 @@ multi-device sharding on the virtual 8-CPU mesh."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # fleet training loops
+
 import jax
 import jax.numpy as jnp
 

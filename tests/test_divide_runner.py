@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # block fleet end-to-end
+
 from brief_pytorch_tpu.core import config as cfglib
 from brief_pytorch_tpu.utils.logger import MyLogger
 

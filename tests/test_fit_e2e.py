@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full compress runs
+
 from brief_pytorch_tpu.core import config as cfglib
 
 

@@ -3,6 +3,9 @@ blocks across multiple buckets on the 8-device CPU mesh — mixed families,
 layer counts, widths, and shapes — must bucket correctly, train, decode,
 and keep padding waste bounded."""
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # fleet scaling runs
 
 import jax
 

@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # MP4/PNG end-to-end compress
+
 from brief_pytorch_tpu.core import config as cfglib
 from brief_pytorch_tpu.io.image import read_img, save_img
 from brief_pytorch_tpu.utils.logger import MyLogger

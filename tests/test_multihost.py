@@ -12,6 +12,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-process jax.distributed launches
+
 WORKER = textwrap.dedent("""
     import os, sys
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -691,3 +693,130 @@ def test_two_process_fleet_resume(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
         assert f"proc{pid} RESUME OK" in out
+
+
+WORKER_FLEET_4PROC = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=1").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from brief_pytorch_tpu.core import config as cfglib
+    from brief_pytorch_tpu.models.phi import init_phi
+    from brief_pytorch_tpu.parallel.block_trainer import BlockFleetTrainer
+    from brief_pytorch_tpu.parallel.mesh import multihost_init
+
+    coord, n_proc, pid, shared = (sys.argv[1], int(sys.argv[2]),
+                                  int(sys.argv[3]), sys.argv[4])
+    multihost_init(coordinator=coord, num_processes=n_proc, process_id=pid)
+    assert jax.process_count() == n_proc
+    devs = np.array(jax.devices())   # 4 global devices, 1 per process
+    assert len(devs) == 4
+    mesh = Mesh(devs.reshape(-1, 1), ("blocks", "data"))
+
+    cc = cfglib.loads(\"\"\"
+    sampler: {name: randompoint, cube_count: 1, cube_len: [8,8,8],
+              sample_size: 128, gpu_force: true, vector_len: 4}
+    loss: {name: datal2, beta: 0.01, weight: [none], weight_thres: 0}
+    half: false
+    coords_mode: "-1,1"
+    optimizer_name_phi: Adamax
+    lr_phi: 0.001
+    lr_scheduler_phi: {name: none}
+    \"\"\")
+
+    def build_blocks():
+        # uneven on purpose (VERDICT r3 next #6): bucket A (SIREN L=4) has
+        # 2 blocks < 4 processes -> _prepare_bucket pads 2->4 with every
+        # process addressing at most one real block; bucket B (SIREN L=5)
+        # has 5 blocks, not divisible by 4 -> pads 5->8; plus one MFN solo
+        # block trained redundantly per process.
+        rng = np.random.default_rng(0)
+        cfgs = [{"name": "SIREN", "coords_channel": 3, "data_channel": 1,
+                 "features": 10, "layers": 4, "w0": 20, "res": False},
+                {"name": "SIREN", "coords_channel": 3, "data_channel": 1,
+                 "features": 14, "layers": 4, "w0": 20, "res": False}]
+        cfgs += [{"name": "SIREN", "coords_channel": 3, "data_channel": 1,
+                  "features": 10 + 2 * i, "layers": 5, "w0": 20,
+                  "res": False} for i in range(5)]
+        cfgs.append({"name": "MFNGabor", "coords_channel": 3,
+                     "data_channel": 1, "features": 8, "layers": 4})
+        blocks = []
+        for i, cfg in enumerate(cfgs):
+            shp = (8, 8, 8, 1) if i % 2 == 0 else (8, 6, 8, 1)
+            vol = rng.uniform(0, 1, shp).astype(np.float32)
+            blocks.append({"name": f"b{i}", "data_norm": vol,
+                           "weight": np.ones_like(vol),
+                           "model": init_phi(cfg), "sideinfos": {},
+                           "weight_thres_norm": 0.0})
+        return blocks
+
+    state = os.path.join(shared, "fleet_state.npz")
+    # A: stop at 15, process-0-gated state write
+    BlockFleetTrainer(mesh=mesh, seed=3).train(
+        build_blocks(), cc, max_steps=30, checkpoints=[15],
+        state_path=state)
+    # B: uninterrupted 4-process truth
+    bb = BlockFleetTrainer(mesh=mesh, seed=3).train(
+        build_blocks(), cc, max_steps=30, checkpoints=[15, 30])
+    # C: resume across the same 4-process boundary
+    bc = BlockFleetTrainer(mesh=mesh, seed=3).train(
+        build_blocks(), cc, max_steps=30, checkpoints=[15, 30],
+        resume_path=state)
+    for blk_b, blk_c in zip(bb, bc):
+        lb = jax.tree_util.tree_leaves(blk_b["params"])
+        lc = jax.tree_util.tree_leaves(blk_c["params"])
+        assert len(lb) == len(lc)
+        for x, y in zip(lb, lc):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), \\
+                blk_b["name"]
+    sums = ",".join(
+        f"{float(sum(np.abs(np.asarray(l)).sum() for l in jax.tree_util.tree_leaves(b['params']))):.6f}"
+        for b in bb)
+    print(f"proc{pid} 4PROC OK {sums}")
+""")
+
+
+@pytest.mark.skipif(os.environ.get("BRIEF_TPU_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+def test_four_process_fleet_uneven_buckets_resume(tmp_path):
+    """4-process fleet with uneven buckets (a 2-block bucket smaller than
+    the process count, a 5-block bucket not divisible by it, an MFN solo
+    block) plus mid-run resume: catches divisibility/addressability edges
+    in _prepare_bucket's block-axis padding that 2-process tests cannot
+    (block_trainer.py target rounding), and every process must agree on
+    the final per-block params (VERDICT r3 next #6)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker_fleet_4proc.py"
+    script.write_text(WORKER_FLEET_4PROC)
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coord, "4", str(pid), str(shared)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(4)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    sums = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
+        line = [l for l in out.splitlines()
+                if l.startswith(f"proc{pid} 4PROC OK")][0]
+        sums.append(line.split()[-1])
+    # all four processes computed identical per-block params
+    assert len(set(sums)) == 1, sums

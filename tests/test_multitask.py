@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess task scheduling
+
 from brief_pytorch_tpu.core import config as cfglib
 from brief_pytorch_tpu.sched import multitask as mt
 

@@ -13,6 +13,8 @@ Covers (reference utils/CompressFramework.py:146-642, utils/Networks.py:
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # NFLR training loops
+
 import jax
 import jax.numpy as jnp
 

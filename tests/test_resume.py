@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess-isolated resume runs
+
 from brief_pytorch_tpu.core import config as cfglib
 
 

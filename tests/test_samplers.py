@@ -55,10 +55,13 @@ def test_vectorised_default_is_reference_draw():
 
 
 def test_vectorised_marginal_coverage_bound():
-    """Exact combinatorial marginal: voxel v is covered by the runs
-    starting in [max(0, v-L+1), min(v, pop-L)] — uniform (L covers) for
-    every interior voxel, depressed only within L-1 voxels of the two flat
-    ends.  No sampling noise: computed in closed form."""
+    """Exact combinatorial marginal of the UNALIGNED fallback (pop % L
+    != 0): voxel v is covered by the runs starting in
+    [max(0, v-L+1), min(v, pop-L)] — uniform (L covers) for every
+    interior voxel, depressed only within L-1 voxels of the two flat
+    ends.  (The aligned branch taken when pop % L == 0 is exactly
+    uniform: each voxel lies in exactly one row.)  No sampling noise:
+    computed in closed form."""
     pop, L = 4096, 64
     v = np.arange(pop)
     covers = np.minimum(v, pop - L) - np.maximum(0, v - L + 1) + 1
