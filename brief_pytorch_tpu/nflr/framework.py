@@ -495,18 +495,48 @@ class _NFLR(_BaseNFLR):
         steps = 0
         max_steps = int(self.opt.Compress.max_steps)
         step_fn = self._y_step_fn(tx_y)
-        while True:
-            for (coords, values) in sampler:
-                y, opt_y, loss = step_fn(y, opt_y, self._module_params(),
-                                         coords, values)
-                steps += 1
-                if steps == max_steps:
-                    compressed = {"sideinfos": sideinfos,
-                                  "y": np.asarray(y)}
-                    if save_path is not None:
-                        with open(save_path, "wb") as f:
-                            pickle.dump(compressed, f)
-                    return compressed
+        if len(sampler) == 1:
+            # full-population batch: fuse the y-argmin into scan segments
+            coords, values = next(iter(sampler))
+            coords, values = jnp.asarray(coords), jnp.asarray(values)
+            params = self._module_params()
+            while steps < max_steps:
+                seg = min(500, max_steps - steps)
+                y, opt_y = self._y_argmin_segment(params, y, opt_y, coords,
+                                                  values, tx_y=tx_y,
+                                                  dist=self._distortion,
+                                                  n_steps=seg)
+                steps += seg
+        else:
+            done = False
+            while not done:
+                for (coords, values) in sampler:
+                    y, opt_y, loss = step_fn(y, opt_y,
+                                             self._module_params(),
+                                             coords, values)
+                    steps += 1
+                    if steps == max_steps:
+                        done = True
+                        break
+        compressed = {"sideinfos": sideinfos, "y": np.asarray(y)}
+        if save_path is not None:
+            with open(save_path, "wb") as f:
+                pickle.dump(compressed, f)
+        return compressed
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("tx_y", "dist", "n_steps"))
+    def _y_argmin_segment(params, y, opt_y, coords, values, *, tx_y, dist,
+                          n_steps):
+        def step(carry, _):
+            y, opt_y = carry
+            loss, g = jax.value_and_grad(
+                lambda yy: dist(params, coords, yy, values))(y)
+            upd, opt_y = tx_y.update(g, opt_y, y)
+            return (optax.apply_updates(y, upd), opt_y), loss
+
+        (y, opt_y), _ = jax.lax.scan(step, (y, opt_y), None, length=n_steps)
+        return y, opt_y
 
     @partial(jax.jit, static_argnums=(0, 1))
     def _y_step(self, tx_y, y, opt_y, module_params, coords, values):
@@ -672,27 +702,51 @@ class _NFLR_Coding(_NFLR):
         steps = 0
         max_steps = int(c.max_steps)
         Lambda = float(self.opt.Train.Lambda)
-        for epoch in range(int(1e8)):
-            for (coords, values) in sampler:
-                tau = annealed_temperature(
-                    epoch, r=float(c.annealing_rate),
-                    ub=float(c.init_temperature),
-                    scheme=c.annealing_scheme, t0=int(c.t0))
-                y, opt_y, loss = _sga_y_step(
+
+        def _tau(epoch):
+            return annealed_temperature(
+                epoch, r=float(c.annealing_rate),
+                ub=float(c.init_temperature),
+                scheme=c.annealing_scheme, t0=int(c.t0))
+
+        if len(sampler) == 1:
+            # full population in one batch: every step sees the same
+            # (loss-order-invariant) batch and epoch == step, so the SGA
+            # argmin fuses into scan segments (same per-step math at
+            # device speed; segment-local key stream)
+            coords, values = next(iter(sampler))
+            coords, values = jnp.asarray(coords), jnp.asarray(values)
+            while steps < max_steps:
+                seg = min(500, max_steps - steps)
+                taus = jnp.asarray([_tau(steps + i) for i in range(seg)],
+                                   jnp.float32)
+                y, opt_y, _ = _sga_y_segment(
                     self._coding_params(), y, opt_y, self._next_key(),
-                    coords, values, Lambda, tau, tx_y=tx_y,
-                    loss_fn=self._loss_rd_sga)
-                steps += 1
-                if steps == max_steps:
-                    tables = em.factorized_build_tables(self.params["emy"])
-                    y_np = np.asarray(y)
-                    y_strings = em.factorized_compress(self.params["emy"],
-                                                       tables, y_np)
-                    sideinfos["y_shape"] = [int(s) for s in y_np.shape[2:]]
-                    if save_path is not None:
-                        write_binary_yaml_zip({"y_strings": y_strings},
-                                              dict(sideinfos), save_path)
-                    return {"y_strings": y_strings, "sideinfos": sideinfos}
+                    coords, values, Lambda, taus, tx_y=tx_y,
+                    loss_fn=self._loss_rd_sga, n_steps=seg)
+                steps += seg
+        else:
+            done = False
+            for epoch in range(int(1e8)):
+                for (coords, values) in sampler:
+                    y, opt_y, loss = _sga_y_step(
+                        self._coding_params(), y, opt_y, self._next_key(),
+                        coords, values, Lambda, _tau(epoch), tx_y=tx_y,
+                        loss_fn=self._loss_rd_sga)
+                    steps += 1
+                    if steps == max_steps:
+                        done = True
+                        break
+                if done:
+                    break
+        tables = em.factorized_build_tables(self.params["emy"])
+        y_np = np.asarray(y)
+        y_strings = em.factorized_compress(self.params["emy"], tables, y_np)
+        sideinfos["y_shape"] = [int(s) for s in y_np.shape[2:]]
+        if save_path is not None:
+            write_binary_yaml_zip({"y_strings": y_strings},
+                                  dict(sideinfos), save_path)
+        return {"y_strings": y_strings, "sideinfos": sideinfos}
 
     def _coding_params(self):
         return {**self._module_params(), "emy": self.params["emy"]}
@@ -785,6 +839,46 @@ def _sga_y_step(params, y, opt_y, key, coords, values, Lambda, tau, *,
         lambda yy: loss_fn(params, key, coords, values, yy, Lambda, tau))(y)
     upd, opt_y = tx_y.update(g, opt_y, y)
     return optax.apply_updates(y, upd), opt_y, loss
+
+
+@partial(jax.jit, static_argnames=("tx_y", "loss_fn", "n_steps"))
+def _sga_y_segment(params, y, opt_y, key, coords, values, Lambda, taus, *,
+                   tx_y, loss_fn, n_steps):
+    """n_steps of _sga_y_step as ONE scan (full-population batch case);
+    taus carries the per-step annealed temperatures."""
+    def step(carry, xs):
+        y, opt_y = carry
+        k, tau = xs
+        loss, g = jax.value_and_grad(
+            lambda yy: loss_fn(params, k, coords, values, yy, Lambda,
+                               tau))(y)
+        upd, opt_y = tx_y.update(g, opt_y, y)
+        return (optax.apply_updates(y, upd), opt_y), loss
+
+    keys = jax.random.split(key, n_steps)
+    (y, opt_y), losses = jax.lax.scan(step, (y, opt_y), (keys, taus))
+    return y, opt_y, losses
+
+
+@partial(jax.jit, static_argnames=("tx_y", "tx_z", "loss_fn", "n_steps"))
+def _sga_yz_segment(params, y, z, opt_y, opt_z, key, coords, values, Lambda,
+                    taus, *, tx_y, tx_z, loss_fn, n_steps):
+    """n_steps of _sga_yz_step as ONE scan (full-population batch case)."""
+    def step(carry, xs):
+        y, z, opt_y, opt_z = carry
+        k, tau = xs
+        loss, (gy, gz) = jax.value_and_grad(
+            lambda yy, zz: loss_fn(params, k, coords, values, yy, zz,
+                                   Lambda, tau), argnums=(0, 1))(y, z)
+        upd_y, opt_y = tx_y.update(gy, opt_y, y)
+        upd_z, opt_z = tx_z.update(gz, opt_z, z)
+        return (optax.apply_updates(y, upd_y),
+                optax.apply_updates(z, upd_z), opt_y, opt_z), loss
+
+    keys = jax.random.split(key, n_steps)
+    (y, z, opt_y, opt_z), losses = jax.lax.scan(
+        step, (y, z, opt_y, opt_z), (keys, taus))
+    return y, z, opt_y, opt_z, losses
 
 
 @partial(jax.jit, static_argnames=("tx", "tx_y", "argmin_steps", "loss_un"))
@@ -993,15 +1087,34 @@ class _NFLR_Coding_Hyper(_NFLR_Coding):
         steps = 0
         max_steps = int(c.max_steps)
         Lambda = float(self.opt.Train.Lambda)
+
+        def _tau(epoch):
+            return annealed_temperature(
+                epoch, r=float(c.annealing_rate),
+                ub=float(c.init_temperature),
+                scheme=c.annealing_scheme, t0=int(c.t0))
+
+        if len(sampler) == 1:
+            # full-population batch: fuse the SGA argmin into scan
+            # segments (see the coding variant's compressing_data)
+            coords, values = next(iter(sampler))
+            coords, values = jnp.asarray(coords), jnp.asarray(values)
+            while steps < max_steps:
+                seg = min(500, max_steps - steps)
+                taus = jnp.asarray([_tau(steps + i) for i in range(seg)],
+                                   jnp.float32)
+                y, z, opt_y, opt_z, _ = _sga_yz_segment(
+                    self._hyper_params(), y, z, opt_y, opt_z,
+                    self._next_key(), coords, values, Lambda, taus,
+                    tx_y=tx_y, tx_z=tx_z, loss_fn=self._loss_rd_hyper_sga,
+                    n_steps=seg)
+                steps += seg
+            return self._encode_yz(y, z, sideinfos, save_path)
         for epoch in range(int(1e8)):
             for (coords, values) in sampler:
-                tau = annealed_temperature(
-                    epoch, r=float(c.annealing_rate),
-                    ub=float(c.init_temperature),
-                    scheme=c.annealing_scheme, t0=int(c.t0))
                 y, z, opt_y, opt_z, loss = _sga_yz_step(
                     self._hyper_params(), y, z, opt_y, opt_z,
-                    self._next_key(), coords, values, Lambda, tau,
+                    self._next_key(), coords, values, Lambda, _tau(epoch),
                     tx_y=tx_y, tx_z=tx_z, loss_fn=self._loss_rd_hyper_sga)
                 steps += 1
                 if steps == max_steps:

@@ -61,6 +61,44 @@ def make_params(key):
     return layers
 
 
+_PI = 3.141592653589793
+# degree-7 odd minimax for sin on [-pi/2, pi/2] (max err ~6e-7, within the
+# 2e-5 parity tolerance); one fewer madd pair than the shipped degree-9
+_S7 = (9.99999664e-01, -1.66656598e-01, 8.30962843e-03, -1.84599000e-04)
+# pi split exactly representable in f32 (Cody-Waite for the pi-period form)
+_P1 = 3.140625
+_P2 = 9.67653589793e-4
+
+
+def _sin7(x):
+    """Same reduction as fast_sin, degree-7 polynomial."""
+    k = jnp.round(x * 0.15915494309189535)
+    r = x - k * 6.28125 - k * 1.9353071795864769e-3
+    r = jnp.where(r > _PI / 2, _PI - r, r)
+    r = jnp.where(r < -_PI / 2, -_PI - r, r)
+    r2 = r * r
+    p = _S7[3]
+    p = p * r2 + _S7[2]
+    p = p * r2 + _S7[1]
+    p = p * r2 + _S7[0]
+    return r * p
+
+
+def _sin_sign(x):
+    """pi-period reduction with a (-1)^k sign instead of the two
+    fold-selects: sin(x) = (-1)^k sin(x - k pi), r in [-pi/2, pi/2]."""
+    k = jnp.round(x * (1.0 / _PI))
+    r = x - k * _P1 - k * _P2
+    # (-1)^k without integer ops: k is an exact small float
+    sign = 1.0 - 2.0 * jnp.abs(k - 2.0 * jnp.round(k * 0.5))
+    r2 = r * r
+    p = _S7[3]
+    p = p * r2 + _S7[2]
+    p = p * r2 + _S7[1]
+    p = p * r2 + _S7[0]
+    return sign * r * p
+
+
 def chain(params, x, *, layout: str, act: str):
     """x: (N,3) for layout 'nf', (3,N) for 'fn'."""
     from brief_pytorch_tpu.ops.fast_math import fast_sin
@@ -76,6 +114,10 @@ def chain(params, x, *, layout: str, act: str):
                 h = jnp.sin(W0 * z)
             elif act == "fast":
                 h = fast_sin(W0 * z)
+            elif act == "fast7":
+                h = _sin7(W0 * z)
+            elif act == "fastsign":
+                h = _sin_sign(W0 * z)
             else:
                 h = z * 1.0001
         else:
@@ -240,6 +282,11 @@ def main():
                   mode="full", n_steps=args.steps, data=data)
     bench_variant("nf_full_nosine_flatopt", layout="nf", act="ident",
                   mode="full", n_steps=args.steps, data=data, flat_opt=True)
+    # r4: cheaper sine formulations (degree-7 poly; sign-based reduction)
+    bench_variant("nf_full_sin7", layout="nf", act="fast7",
+                  mode="full", n_steps=args.steps, data=data)
+    bench_variant("nf_full_sinsign", layout="nf", act="fastsign",
+                  mode="full", n_steps=args.steps, data=data)
     if args.quick:
         return
     bench_streaming()

@@ -120,6 +120,7 @@ SIZING_CASES = [
 ]
 
 
+@pytest.mark.slow  # 30-70 s per case: full reference sizing sweep
 @pytest.mark.parametrize("name,kw", SIZING_CASES,
                          ids=[f"{n}-{i}" for i, (n, _) in
                               enumerate(SIZING_CASES)])
