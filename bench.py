@@ -136,8 +136,13 @@ def bench_single(features_override=None, sampler_kind="randomcube",
         dev_weight = jnp.ones_like(dev_data)
         coords_per_step = sample_size
 
+    # fused Pallas train kernel — the framework default since r4 (same
+    # gate as train/fit.NFGR.compress: TPU backend + supported chain)
+    from brief_pytorch_tpu.ops.pallas_train import supports_training
+    fused = bool(supports_training(model, "datal2")
+                 and jax.devices()[0].platform == "tpu")
     kwargs = dict(weight_thres=100.0, model=model, sampler=sampler, tx=tx,
-                  loss_name="datal2", beta=0.01, half=False)
+                  loss_name="datal2", beta=0.01, half=False, fused=fused)
     state = {"params": params, "opt_state": opt_state}
 
     def run(seed):
@@ -151,7 +156,7 @@ def bench_single(features_override=None, sampler_kind="randomcube",
 
     kind, peak = _device_peak()
     extras = {"features": feats, "coords_per_step": coords_per_step,
-              "device_kind": kind, "anchor": "estimated"}
+              "device_kind": kind, "anchor": "estimated", "fused": fused}
     flops_per_coord = _chain_matmul_flops_per_coord(model)
     achieved = coords_per_sec * flops_per_coord
     extras["achieved_matmul_tflops"] = round(achieved / 1e12, 3)

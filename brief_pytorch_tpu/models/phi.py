@@ -66,12 +66,16 @@ def init_linear(key, fan_in: int, fan_out: int, w_init: str, dtype=jnp.float32,
 
 def _act(name: str, w0: float, z: jnp.ndarray) -> jnp.ndarray:
     if name == "sine":
-        # fast_sin: VPU-cheap sine (f32 error <= ~2e-6 in the SIREN
+        # fast_sin_cached: VPU-cheap sine (f32 error <= ~2e-6 in the SIREN
         # argument range; ops/fast_math.py) — the training step is ~87%
-        # transcendental-bound without it.  Falls back to jnp.sin for
+        # transcendental-bound without it — whose VJP re-reads a cos
+        # residual saved by the forward (shared range reduction) instead
+        # of differentiating the polynomial: measured 1.09x the XLA
+        # contract step and a MORE accurate gradient (true cos to 2e-7 vs
+        # ~3e-5 for the poly derivative).  Falls back to jnp.sin for
         # float64 (x64 parity oracle) and BRIEF_TPU_EXACT_SINE=1.
-        from brief_pytorch_tpu.ops.fast_math import fast_sin
-        return fast_sin(w0 * z)
+        from brief_pytorch_tpu.ops.fast_math import fast_sin_cached
+        return fast_sin_cached(w0 * z)
     if name == "relu":
         return jax.nn.relu(z)
     if name == "sigmoid":
@@ -159,7 +163,7 @@ def chain_apply(layers: Sequence[Dict], coords: jnp.ndarray, spec: ChainSpec,
 
 
 def _encode(coords, spec: ChainSpec, encoder_params, compute_dtype):
-    from brief_pytorch_tpu.ops.fast_math import fast_cos, fast_sin
+    from brief_pytorch_tpu.ops.fast_math import (fast_sin, fast_sincos)
     if spec.encoder == "none":
         return coords
     if spec.encoder == "sirenpos":
@@ -174,14 +178,17 @@ def _encode(coords, spec: ChainSpec, encoder_params, compute_dtype):
         for i in range(frequencies):
             for j in range(coords.shape[-1]):
                 c = (2.0 ** i) * jnp.pi * coords[..., j:j + 1]
-                parts.append(fast_sin(c))
-                parts.append(fast_cos(c))
+                # sin and cos of the SAME argument: one shared reduction
+                s, co = fast_sincos(c)
+                parts.append(s)
+                parts.append(co)
         return jnp.concatenate(parts, axis=-1)
     if spec.encoder == "ffn":
         # [sin(2 pi x B^T), cos(2 pi x B^T)], reference Networks.py:150-155.
         bvals = encoder_params["bvals"]  # (embsize, coords_channel)
         proj = _matmul(2.0 * jnp.pi * coords, bvals.T, compute_dtype)
-        return jnp.concatenate([fast_sin(proj), fast_cos(proj)], axis=-1)
+        s, co = fast_sincos(proj)        # one shared reduction for both
+        return jnp.concatenate([s, co], axis=-1)
     raise ValueError(spec.encoder)
 
 

@@ -23,7 +23,10 @@ from typing import Dict, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from brief_pytorch_tpu.ops.fast_math import fast_sin
+# cos-residual VJP variant: the backward of every modulated-SIREN sine is
+# g*cos re-read from the forward (ops/fast_math.fast_sin_cached) — same
+# primal polynomial as fast_sin, more accurate gradient, fewer bwd ops
+from brief_pytorch_tpu.ops.fast_math import fast_sin_cached as fast_sin
 import numpy as np
 
 from brief_pytorch_tpu.models.phi import init_linear, _matmul

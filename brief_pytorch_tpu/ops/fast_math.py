@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import os
 
+import jax
 import jax.numpy as jnp
 
 _INV_2PI = 0.15915494309189535
@@ -79,3 +80,89 @@ def fast_cos(x: jnp.ndarray) -> jnp.ndarray:
     if _EXACT or x.dtype == jnp.float64:
         return jnp.cos(x)
     return fast_sin(x + _HALF_PI)
+
+
+# even minimax coefficients for cos on [-pi/2, pi/2] (Lawson-reweighted
+# LSQ, degree 8; float32-Horner max error 2.0e-7 — measured at fit time)
+_K0 = 9.99999953e-01
+_K1 = -4.99999054e-01
+_K2 = 4.16635848e-02
+_K3 = -1.38537053e-03
+_K4 = 2.31539532e-05
+
+
+def fast_sincos(x: jnp.ndarray):
+    """(sin(x), cos(x)) sharing ONE Cody-Waite reduction.
+
+    The train-step kernel needs sin(w0*z) in the forward and cos(w0*z)
+    for the backward's activation derivative; computing them separately
+    pays the 2*pi reduction twice.  This fuses them: one reduction + the
+    odd sin polynomial + an even cos polynomial on the same r^2 powers
+    (the fold to [-pi/2, pi/2] flips the cos sign: cos(pi-r) = -cos r).
+    Same validity domain as fast_sin (|x| <= ~2e3, float32/bf16); float64
+    and BRIEF_TPU_EXACT_SINE=1 fall back to exact jnp.sin/cos.
+    """
+    if _EXACT or x.dtype == jnp.float64:
+        return jnp.sin(x), jnp.cos(x)
+    orig = x.dtype
+    if orig != jnp.float32:
+        x = x.astype(jnp.float32)
+    k = jnp.round(x * _INV_2PI)
+    r = x - k * _C1
+    r = r - k * _C2                        # r in [-pi, pi]
+    flip = jnp.abs(r) > _HALF_PI           # outer quadrants: cos < 0 side
+    r = jnp.where(r > _HALF_PI, _PI - r, r)
+    r = jnp.where(r < -_HALF_PI, -_PI - r, r)
+    r2 = r * r
+    p = _S4
+    p = p * r2 + _S3
+    p = p * r2 + _S2
+    p = p * r2 + _S1
+    p = p * r2 + _S0
+    s = r * p
+    q = _K4
+    q = q * r2 + _K3
+    q = q * r2 + _K2
+    q = q * r2 + _K1
+    q = q * r2 + _K0
+    c = jnp.where(flip, -q, q)
+    if orig != jnp.float32:
+        s, c = s.astype(orig), c.astype(orig)
+    return s, c
+
+
+# bound once so A/B scripts can rebind the module-level `fast_sin` name
+# without making _sin_cached recurse into itself
+_FAST_SIN_IMPL = fast_sin
+
+
+@jax.custom_vjp
+def _sin_cached(x):
+    return _FAST_SIN_IMPL(x)
+
+
+def _sin_cached_fwd(x):
+    s, c = fast_sincos(x)
+    return s, c
+
+
+def _sin_cached_bwd(c, g):
+    return (g * c,)
+
+
+_sin_cached.defvjp(_sin_cached_fwd, _sin_cached_bwd)
+
+
+def fast_sin_cached(x: jnp.ndarray) -> jnp.ndarray:
+    """fast_sin whose VJP re-reads a cos residual saved by the forward.
+
+    Plain fast_sin's reverse mode differentiates the polynomial (~14 VPU
+    ops re-run in the backward); this variant computes (sin, cos) in the
+    forward via fast_sincos's shared reduction and the backward is just
+    g * cos — no transcendental work at all.  Same residual footprint
+    class as autodiff (one activation-sized tensor), fewer total ops.
+    Intended for training hot paths (XLA autodiff of sine chains); the
+    exact/float64 escape hatches match fast_sin."""
+    if _EXACT or x.dtype == jnp.float64:
+        return jnp.sin(x)
+    return _sin_cached(x)

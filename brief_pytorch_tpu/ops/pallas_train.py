@@ -46,34 +46,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _act_fm(z, act: str, w0: float):
-    if act == "sine":
-        # fast_sin's jnp ops lower through Mosaic inside the kernel too —
-        # the step is transcendental-bound (RESULTS.md attribution), and
-        # Mosaic's full-range sin pays the same reduction tax as XLA's
-        from brief_pytorch_tpu.ops.fast_math import fast_sin
-        return fast_sin(w0 * z)
-    if act == "relu":
-        return jnp.maximum(z, 0.0)
-    if act == "sigmoid":
-        return jax.nn.sigmoid(z)
-    if act == "none":
-        return z
-    raise ValueError(act)
+def _act_fwd_fm(z, act: str, w0: float):
+    """(act(z), d act(z)/dz) in one pass.
 
-
-def _act_grad_fm(z, act: str, w0: float):
-    """d act(z) / dz, elementwise."""
+    For sine this shares ONE Cody-Waite range reduction between sin and
+    cos (fast_math.fast_sincos) — the step is transcendental-bound, and
+    computing the backward's cos separately (r4's first kernel) paid the
+    reduction twice per activation.  'none' returns d=None (identity)."""
     if act == "sine":
-        from brief_pytorch_tpu.ops.fast_math import fast_cos
-        return w0 * fast_cos(w0 * z)
+        from brief_pytorch_tpu.ops.fast_math import fast_sincos
+        s, c = fast_sincos(w0 * z)
+        return s, w0 * c
     if act == "relu":
-        return (z > 0.0).astype(z.dtype)
+        return jnp.maximum(z, 0.0), (z > 0.0).astype(z.dtype)
     if act == "sigmoid":
         s = jax.nn.sigmoid(z)
-        return s * (1.0 - s)
+        return s, s * (1.0 - s)
     if act == "none":
-        return jnp.ones_like(z)
+        return z, None
     raise ValueError(act)
 
 
@@ -84,14 +74,19 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
       coords (C, tile), values (Cout, tile), weights (Cout, tile),
       then per layer: wt (fout, fin), w (fin, fout), b (fout, 1),
       outputs: loss (1,1) SMEM, per layer dwt (fout, fin), db (fout, 1),
-      scratch: per layer z_l (f_l, tile), then per HIDDEN layer
-      h_l (f_l, tile) — post-activations are stored, not recomputed: the
-      step is transcendental-bound (RESULTS.md attribution), and
-      recomputing act(z) in the backward dW contraction costs a third
-      sine eval per hidden activation (3 vs the XLA path's 2), which is
-      exactly the regime where the r3 kernel measured 0.93x XLA.
+      scratch: d_l (f_l, tile) for every layer with act != 'none', then
+      per HIDDEN layer h_l (f_l, tile).  The forward computes each
+      activation AND its derivative together (_act_fwd_fm: for sine, one
+      shared range reduction yields both sin and cos) and stores the
+      derivative; the backward is then TRANSCENDENTAL-FREE — it re-reads
+      d_l and h_l.  The step is transcendental-bound (RESULTS.md
+      attribution): the r3 kernel recomputed act(z) in backward (3 sine
+      evals/activation, 0.93x XLA), the first r4 kernel stored h but
+      still paid a full cos reduction in backward (2 evals, 1.21x); this
+      form pays ~1.3 evals' worth once, in the forward.
     """
     n_in = 3 + 3 * n_layers
+    needs_d = [acts[l][0] != "none" for l in range(n_layers)]
 
     def kernel(*refs):
         coords_ref = refs[0]
@@ -103,12 +98,15 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
         dwt_refs = [refs[n_in + 1 + 2 * l] for l in range(n_layers)]
         db_refs = [refs[n_in + 1 + 2 * l + 1] for l in range(n_layers)]
         scratch = list(refs[n_in + 1 + 2 * n_layers:])
-        z_refs = scratch[:n_layers]
-        h_refs = scratch[n_layers:]          # hidden layers only (n-1)
+        d_refs = {}                          # layer -> derivative scratch
+        for l in range(n_layers):
+            if needs_d[l]:
+                d_refs[l] = scratch.pop(0)
+        h_refs = scratch                     # hidden layers only (n-1)
 
         i = pl.program_id(0)
 
-        # ---- forward: h_l kept implicit via stored pre-activations z_l ----
+        # ---- forward: activations + derivatives in one pass ----
         h = coords_ref[:]
         for l in range(n_layers):
             lhs = h.astype(compute_dtype) if compute_dtype else h
@@ -117,9 +115,10 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
                 rhs.astype(lhs.dtype), lhs,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) + b_in_refs[l][:]
-            z_refs[l][:] = z
             act, w0 = acts[l]
-            h = _act_fm(z, act, w0)
+            h, d = _act_fwd_fm(z, act, w0)
+            if needs_d[l]:
+                d_refs[l][:] = d
             if l < n_layers - 1:
                 h_refs[l][:] = h
         pred = h  # (Cout, tile)
@@ -151,9 +150,8 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
         # g currently holds dL/dpred; chain through the LAST layer's
         # activation so dW_L/db_L are gradients w.r.t. z_L (output_act
         # chains end in sine/sigmoid, not just 'none')
-        act_L, w0_L = acts[-1]
-        if act_L != "none":
-            g = g * _act_grad_fm(z_refs[-1][:], act_L, w0_L)
+        if needs_d[n_layers - 1]:
+            g = g * d_refs[n_layers - 1][:]
 
         @pl.when(i == 0)
         def _():
@@ -164,7 +162,8 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
 
         loss_ref[0, 0] += loss_tile
 
-        # ---- backward (reverse chain, stored activations re-read) ----
+        # ---- backward (reverse chain; transcendental-free — stored
+        # activations AND stored derivatives are re-read) ----
         for l in range(n_layers - 1, -1, -1):
             if l == 0:
                 h_prev = coords_ref[:]
@@ -182,8 +181,8 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
                     w_in_refs[l][:].astype(gl.dtype), gl,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                act_p, w0_p = acts[l - 1]
-                g = g * _act_grad_fm(z_refs[l - 1][:], act_p, w0_p)
+                if needs_d[l - 1]:
+                    g = g * d_refs[l - 1][:]
 
     return kernel
 
@@ -225,9 +224,10 @@ def _fused_grads_padded(coords_t, values_t, weights_t, wts, ws, bs,
         out_shape.append(jax.ShapeDtypeStruct(bs[l].shape, jnp.float32))
         out_specs.append(full_spec(bs[l].shape))
 
+    # stored activation derivatives (layers with act != 'none') and
+    # post-activations (hidden layers) for the transcendental-free backward
     scratch = [pltpu.VMEM((wts[l].shape[0], tile), jnp.float32)
-               for l in range(n_layers)]
-    # stored post-activations for the backward pass (hidden layers only)
+               for l in range(n_layers) if acts[l][0] != "none"]
     scratch += [pltpu.VMEM((wts[l].shape[0], tile), jnp.float32)
                 for l in range(n_layers - 1)]
 
@@ -245,7 +245,8 @@ def _fused_grads_padded(coords_t, values_t, weights_t, wts, ws, bs,
             flops=flops,
             bytes_accessed=(coords_t.size + values_t.size + weights_t.size
                             + 3 * param_count) * 4,
-            transcendentals=2 * grid[0] * tile * sum(w.shape[1] for w in ws)),
+            transcendentals=grid[0] * tile * sum(
+                w.shape[1] for w, a in zip(ws, acts) if a[0] == "sine")),
         interpret=interpret,
     )(*flat)
 
@@ -270,9 +271,10 @@ def fused_train_grads(layers, coords_t, values_t, weights_t, acts: LayerSpec,
     """
     n = coords_t.shape[1]
     tile = min(tile, _round_up(n, 512))
-    # keep (z + h) scratch within a conservative VMEM budget: (2L-1)
-    # feature-major activation tiles of the widest layer
-    rows = sum(l["w"].shape[1] for l in layers) * 2 - layers[-1]["w"].shape[1]
+    # keep (d + h) scratch within a conservative VMEM budget:
+    # derivative tiles for act != 'none' layers + hidden activation tiles
+    rows = sum(l["w"].shape[1] * ((a[0] != "none") + (i < len(layers) - 1))
+               for i, (l, a) in enumerate(zip(layers, acts)))
     while tile > 512 and rows * tile * 4 > 8 * 1024 * 1024:
         tile //= 2
     n_pad = _round_up(n, tile)

@@ -298,10 +298,14 @@ class NFGR:
         loss_name = self.opt.Compress.loss.name
         beta = float(self.opt.Compress.loss.get("beta", 0.01))
 
-        # opt-in fused Pallas train kernel (Compress.fused_train); requires
-        # a plain f32 chain and a TPU backend (see ops/pallas_train.py)
+        # fused Pallas train kernel (Compress.fused_train, default ON since
+        # r4): requires a plain f32 chain and a TPU backend
+        # (ops/pallas_train.py), else falls back to XLA autodiff.  Measured
+        # 1.09-1.52x the XLA step across shape classes with identical
+        # converged quality (RESULTS.md "Fused train kernel"); set
+        # fused_train: false for bitwise TPU/CPU metric reproducibility.
         fused = False
-        if self.opt.Compress.get("fused_train", False) and not self.half:
+        if self.opt.Compress.get("fused_train", True) and not self.half:
             from brief_pytorch_tpu.ops.pallas_train import supports_training
             if supports_training(model, loss_name) and \
                     jax.devices()[0].platform == "tpu":
