@@ -28,8 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-N_STEPS = 600
-SAMPLE = 100_000
+N_STEPS = int(os.environ.get("AB_STEPS", 600))
+SAMPLE = int(os.environ.get("AB_SAMPLE", 100_000))
 
 
 def main():
@@ -74,7 +74,8 @@ def main():
                                      self.coords_mode, data_flat.dtype)
             return coords, vals, wts
 
-    def bench(name, sampler):
+    def bench(name, sampler, data=None):
+        dat = dev_data if data is None else data
         params = model.init(jax.random.PRNGKey(42))
         opt_state = tx.init(params)
         kwargs = dict(weight_thres=100.0, model=model, sampler=sampler,
@@ -83,7 +84,7 @@ def main():
 
         def run(seed):
             state["p"], state["o"], losses = run_segment(
-                state["p"], state["o"], dev_data, dev_weight,
+                state["p"], state["o"], dat, dev_weight,
                 jax.random.PRNGKey(seed), n_steps=N_STEPS, **kwargs)
             return losses
 
@@ -100,10 +101,43 @@ def main():
                           "coords_per_sec": round(SAMPLE / (ms / 1e3))}),
               flush=True)
 
+    @dataclass(frozen=True)
+    class NarrowGatherSampler:
+        """iid flat gather from a NARROW-dtype volume (u16/bf16), converted
+        to the normalized f32 batch AFTER the gather — measures whether the
+        iid gather is byte-bound (halving bytes helps) or per-index-bound
+        (it doesn't); VERDICT r3 #5's remaining lever."""
+        spatial_shape: Tuple[int, ...]
+        coords_mode: str
+        sample_size: int
+        scale: float
+        offset: float
+
+        def sample(self, key, data_flat, weight_flat):
+            pop = data_flat.shape[0]
+            idx = jax.random.randint(key, (self.sample_size,), 0, pop)
+            raw = data_flat[idx]
+            vals = raw.astype(jnp.float32) * self.scale + self.offset
+            wts = jnp.ones_like(vals)
+            coords = index_to_coords(idx, self.spatial_shape,
+                                     self.coords_mode, jnp.float32)
+            return coords, vals, wts
+
+    lo, hi = float(data.min()), float(data.max())
+    scale = 100.0 / (hi - lo)
+    dev_u16 = jnp.asarray(data.reshape(-1, 1))          # uint16 as stored
+    dev_bf16 = jnp.asarray(data_norm.reshape(-1, 1), jnp.bfloat16)
+
     bench("flat", RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 1))
     bench("vec32", RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 32))
     bench("vec128", RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 128))
     bench("nogather", NoGatherSampler((64, 64, 64), "-1,1", SAMPLE))
+    bench("flat_u16",
+          NarrowGatherSampler((64, 64, 64), "-1,1", SAMPLE, scale,
+                              -lo * scale), data=dev_u16)
+    bench("flat_bf16",
+          NarrowGatherSampler((64, 64, 64), "-1,1", SAMPLE, 1.0, 0.0),
+          data=dev_bf16)
 
 
 if __name__ == "__main__":

@@ -66,7 +66,9 @@ def main():
     outdir = os.path.join(here, "dataset", "example")
     os.makedirs(outdir, exist_ok=True)
     from brief_pytorch_tpu.io.image import save_img
-    for name, seed in (("hipct", 7), ("vessel", 11), ("neuron", 13)):
+    # filenames must match the reference configs' data_path exactly
+    # (opt/DivideTask/*.yaml — note "neurons", plural, neuron.yaml:6)
+    for name, seed in (("hipct", 7), ("vessel", 11), ("neurons", 13)):
         path = os.path.join(outdir, f"{name}-0_64-0_512-0_512.tif")
         if os.path.exists(path):
             print("exists:", path)

@@ -104,7 +104,12 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--out", default="outputs/nflr_rd")
     ap.add_argument("--tag", default="")
+    ap.add_argument("--volume", default=FIXTURE,
+                    help="volume to compress (default: the 64^3 fixture); "
+                         "e.g. dataset/example/hipct-0_64-0_512-0_512.tif "
+                         "for a real-scale (16.7M voxel) point")
     args = ap.parse_args()
+    volume = os.path.abspath(args.volume)
 
     from brief_pytorch_tpu.io.image import read_img
     from brief_pytorch_tpu.nflr.crop import CropDataset
@@ -118,7 +123,7 @@ def main():
 
     ds = CropDataset(1, args.sample_size, opt.Normalize, None,
                      opt.Module.crop, True, True,
-                     data_path_list=[FIXTURE], seed=0)
+                     data_path_list=[volume], seed=0)
     tx = make_optimizer(opt.Train.optimizer_name_module,
                         float(opt.Train.lr_module))
     opt_state = tx.init(fw._train_params())
@@ -171,25 +176,25 @@ def main():
 
     # --- compress to a real container + bits round trip ---
     comp_path = os.path.join(args.out, tag + ".zip")
-    compressed = fw.compress([FIXTURE], comp_path)
+    compressed = fw.compress([volume], comp_path)
     dec_mem = fw.decompress(compressed_data=compressed)
     dec_file = fw.decompress(compressed_data_path=comp_path)
     bits_roundtrip_ok = bool(np.array_equal(dec_mem, dec_file))
 
-    orig = read_img(FIXTURE)                      # (64,64,64,1) uint16
+    orig = read_img(volume)                       # (d,h,w,1) uint16
     dec = np.moveaxis(dec_file[0], 0, -1)         # (1,c,d,h,w) -> (d,h,w,c)
     mse = float(np.mean((dec.astype(np.float64)
                          - orig.astype(np.float64)) ** 2))
     psnr = -10.0 * np.log10(mse / 65535.0 ** 2)
     nbytes = os.path.getsize(comp_path)
-    orig_bytes = os.path.getsize(FIXTURE)
+    orig_bytes = os.path.getsize(volume)
     import jax
     result = {
         "tag": tag, "platform": jax.devices()[0].platform,
         "variant": args.variant, "train_steps": args.steps,
         "sga_steps": args.sga_steps, "Lambda": args.Lambda,
         "features": args.features, "y_channel": args.y_channel,
-        "ps": args.ps, "ol": args.ol,
+        "ps": args.ps, "ol": args.ol, "volume": os.path.basename(volume),
         "file_bytes": nbytes, "ratio": round(orig_bytes / nbytes, 2),
         "bits_per_voxel": round(nbytes * 8 / orig.size, 4),
         "psnr_uint16": round(psnr, 2), "mse": mse,
