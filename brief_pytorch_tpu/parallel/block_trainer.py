@@ -267,17 +267,28 @@ def unstack_params(params_layers, models: Sequence[_ChainModel],
 @dataclass
 class BlockBatch:
     """B normalised blocks padded to a common flat voxel count."""
-    data: jnp.ndarray          # (B, Vmax, c)
+    data: jnp.ndarray          # (B, Vmax, c) float32 — or the raw integer
+                               # dtype when dq_scale is set (see build)
     weight: jnp.ndarray        # (B, Vmax, c)
     valid: jnp.ndarray         # (B,) int32 true voxel counts
     shapes: jnp.ndarray        # (B, ndim) spatial extents
     vmax: int
     ndim: int
+    dq_scale: object = None    # (B,) f32 per-block affine (integer stacks)
+    dq_offset: object = None
 
     @staticmethod
     def build(blocks: List[Dict], pad_multiple: int = 1) -> "BlockBatch":
         """blocks: dicts with 'data_norm' (*spatial, c) float32 and
         'weight' of the same shape.
+
+        When EVERY block also carries 'data_raw' (the preprocessed
+        integer-dtype chunk) and 'dequant' (the per-block affine (A, B)
+        with data_norm == raw*A + B, divide_runner.py), the stack is
+        built in the RAW dtype — uint16 gathers move half the bytes of
+        float32, which the randompoint step is measured to be bound by
+        (scripts/instep_gather_ab.py) — and run_block_segment applies
+        the affine to each gathered batch.
 
         Arrays stay HOST numpy: the trainer device_puts data onto the mesh
         itself, and the weight stack must never touch the device when the
@@ -288,17 +299,32 @@ class BlockBatch:
         if pad_multiple > 1:
             vmax = ((vmax + pad_multiple - 1) // pad_multiple) * pad_multiple
         B = len(blocks)
-        data = np.zeros((B, vmax, c), np.float32)
+        raw_ok = all(b.get("dequant") is not None
+                     and b.get("data_raw") is not None for b in blocks)
+        if raw_ok:
+            raw_dtype = blocks[0]["data_raw"].dtype
+            raw_ok = all(b["data_raw"].dtype == raw_dtype for b in blocks)
+        dq_scale = dq_offset = None
+        if raw_ok:
+            data = np.zeros((B, vmax, c), raw_dtype)
+            dq_scale = np.asarray([b["dequant"][0] for b in blocks],
+                                  np.float32)
+            dq_offset = np.asarray([b["dequant"][1] for b in blocks],
+                                   np.float32)
+        else:
+            data = np.zeros((B, vmax, c), np.float32)
         weight = np.zeros((B, vmax, c), np.float32)
         valid = np.zeros((B,), np.int32)
         shapes = np.ones((B, ndim), np.int32)
         for i, b in enumerate(blocks):
             v = int(np.prod(b["data_norm"].shape[:-1]))
-            data[i, :v] = b["data_norm"].reshape(v, c)
+            data[i, :v] = (b["data_raw"] if raw_ok
+                           else b["data_norm"]).reshape(v, c)
             weight[i, :v] = b["weight"].reshape(v, c)
             valid[i] = v
             shapes[i] = b["data_norm"].shape[:-1]
-        return BlockBatch(data, weight, valid, shapes, vmax, ndim)
+        return BlockBatch(data, weight, valid, shapes, vmax, ndim,
+                          dq_scale, dq_offset)
 
 
 # --------------------------------------------------------------------------
@@ -369,7 +395,7 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
                       n_steps: int, sample_size: int, coords_mode: str,
                       half: bool, sampler: str = "randompoint",
                       cube_count: int = 1, cube_len: Tuple[int, ...] = (),
-                      vector_len: int = 1):
+                      vector_len: int = 1, dq_scale=None, dq_offset=None):
     """n_steps of simultaneous training for all B blocks (one scan).
 
     Each step vmaps sample+forward+backward+update over the block axis;
@@ -380,22 +406,35 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
     thres: (B,) per-block normalized weight_thres — each block normalizes
     the config threshold with its OWN min/max (reference: each child runs
     main.py:380-383 on its own chunk), so it cannot be a shared scalar.
+    data may be an INTEGER stack (the raw volume dtype): gathers then move
+    half the bytes (measured byte-bound, scripts/instep_gather_ab.py) and
+    the per-block affine normalization dq_scale/dq_offset ((B,) float32,
+    from BlockBatch.build) is applied to the gathered batch — same math
+    as the solo sampler's integer path (train/samplers.py).
     Returns (params_layers, opt_state, losses (n_steps, B)).
     """
     loss_fn = make_loss(loss_name, beta)
     compute_dtype = jnp.bfloat16 if half else None
     B = data.shape[0]
+    integer_data = jnp.issubdtype(data.dtype, jnp.integer)
+    if dq_scale is None:
+        dq_scale = jnp.ones((B,), jnp.float32)
+        dq_offset = jnp.zeros((B,), jnp.float32)
 
     # NOTE on index math: block shapes are traced (vmapped), and TPU has no
     # integer-divide hardware — `//`/`%` by a traced value lowers to a slow
     # expansion (measured 45 ms/step vs ~1 ms).  Every per-voxel path below
     # therefore works in per-axis indices with multiplies only.
     def block_loss(layers_b, masks_b, enc_b, data_b, weight_b, valid_b,
-                   shape_b, thres_b, key_b):
+                   shape_b, thres_b, dq_a, dq_b, key_b):
         ndim = shapes.shape[1]
+        # integer stacks: dequantize the gathered batch to normalized f32
+        # (trace-time branch — dtype is static under jit)
+        dq = (lambda v: v.astype(jnp.float32) * dq_a + dq_b) \
+            if integer_data else (lambda v: v)
         if sampler == "fullbatch":
             idx = jnp.arange(data.shape[1])
-            vals = data_b
+            vals = dq(data_b)
             wts = weight_b if weight is not None else jnp.ones_like(vals)
             sample_valid = (idx < valid_b)[:, None].astype(jnp.float32)
             # exact: the cube guard bounds full-batch blocks <= 80^3 < 2^24
@@ -404,7 +443,7 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
             pos = cube_positions(key_b, shape_b, cube_len, cube_count)
             strides = row_major_strides(shape_b)
             idx = jnp.sum(pos * strides, axis=-1).reshape(-1)
-            vals = data_b[idx]
+            vals = dq(data_b[idx])
             wts = weight_b[idx] if weight is not None \
                 else jnp.ones_like(vals)
             sample_valid = None
@@ -437,7 +476,7 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
                    .reshape(-1)[:sample_size])
             row_take = lambda arr: (arr.reshape(data.shape[1] // L, L * c)
                                     [r].reshape(-1, c)[:sample_size])
-            vals = row_take(data_b)
+            vals = dq(row_take(data_b))
             wts = row_take(weight_b) if weight is not None \
                 else jnp.ones_like(vals)
             sample_valid = None
@@ -461,7 +500,7 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
                     ).reshape(-1, ndim)[:sample_size]
             strides = row_major_strides(shape_b)
             idx = jnp.sum(axes * strides, axis=-1)
-            vals = data_b[idx]
+            vals = dq(data_b[idx])
             wts = weight_b[idx] if weight is not None \
                 else jnp.ones_like(vals)
             sample_valid = None
@@ -481,7 +520,7 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
                                shape_b - 1)
             strides = row_major_strides(shape_b)
             idx = jnp.sum(axes * strides, axis=-1)
-            vals = data_b[idx]
+            vals = dq(data_b[idx])
             wts = weight_b[idx] if weight is not None \
                 else jnp.ones_like(vals)
             sample_valid = None
@@ -511,8 +550,9 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
         keys = jax.random.split(key, B)
 
         losses, grads = jax.vmap(
-            jax.value_and_grad(block_loss), in_axes=(0,) * 9
-        )(params_layers, masks, enc, data, weight, valid, shapes, thres, keys)
+            jax.value_and_grad(block_loss), in_axes=(0,) * 11
+        )(params_layers, masks, enc, data, weight, valid, shapes, thres,
+          dq_scale, dq_offset, keys)
         updates, new_opt_state = jax.vmap(tx.update)(grads, opt_state,
                                                      params_layers)
         params_layers = optax.apply_updates(params_layers, updates)
@@ -580,6 +620,8 @@ class _BucketState:
     sampler_name: str = "randompoint"  # effective: randompoint|randomcube|fullbatch
     cube_len: Tuple[int, ...] = ()     # clipped, static per bucket
     vector_len: int = 1                # clamped to the bucket min last axis
+    dq_scale: object = None            # (B,) per-block dequant (integer stacks)
+    dq_offset: object = None
 
 
 @dataclass
@@ -803,6 +845,9 @@ class BlockFleetTrainer:
             "max_steps": int(max_steps), "half": bool(cc.half),
             "loss": f"{cc.loss.name}/{float(cc.loss.get('beta', 0.01))}",
             "coords_mode": str(cc.coords_mode),
+            # the integer-gather path's training values differ from the
+            # pre-normalized f32 gather by ~1 ulp — not bit-mixable
+            "dequant": [b.get("dequant") is not None for b in blocks],
         }
 
     def _save_state(self, path: str, step: int, fingerprint: Dict) -> None:
@@ -912,9 +957,12 @@ class BlockFleetTrainer:
             params_layers = jax.tree_util.tree_map(pad, params_layers)
             masks = [pad(m) for m in masks]
             enc = jax.tree_util.tree_map(pad, enc)
+            pad_dq = lambda x: None if x is None else pad_np(x)
             batch = BlockBatch(pad_np(batch.data), pad_np(batch.weight),
                                pad_np(batch.valid), pad_np(batch.shapes),
-                               batch.vmax, batch.ndim)
+                               batch.vmax, batch.ndim,
+                               pad_dq(batch.dq_scale),
+                               pad_dq(batch.dq_offset))
 
         # 0.0 is the "override disabled" sentinel (loss.py `if weight_thres:`,
         # reference main.py:380-383); encode it per block as -inf so
@@ -955,6 +1003,9 @@ class BlockFleetTrainer:
             weight=None if unit_weight else put(batch.weight),
             valid=put(batch.valid),
             shapes=put(batch.shapes),
+            dq_scale=None if batch.dq_scale is None else put(batch.dq_scale),
+            dq_offset=None if batch.dq_offset is None
+            else put(batch.dq_offset),
             tx=tx, key=jax.random.PRNGKey(self.seed + 1),
             thres=put(thres_arr), mesh=mesh,
             use_thres=bool(np.any(thres_host != 0.0)),
@@ -998,11 +1049,18 @@ class BlockFleetTrainer:
                 else jax.device_put(blk["weight"], dev)
             cps = sampler.cube_count * int(np.prod(clipped))
         else:
+            # integer-gather fast path when divide_runner recorded the
+            # block's raw chunk + affine (same as the solo NFGR trainer)
+            dq = blk.get("dequant")
+            raw = blk.get("data_raw") if dq is not None else None
             sampler = RandomPointSampler(
                 spatial, mode, int(scc.sampler.sample_size),
                 min(int(scc.sampler.get("vector_len", 1) or 1),
-                    int(np.prod(spatial))))
-            dev_data = jax.device_put(blk["data_norm"].reshape(-1, c), dev)
+                    int(np.prod(spatial))),
+                *(dq if raw is not None else (1.0, 0.0)))
+            dev_data = jax.device_put(
+                (raw if raw is not None
+                 else blk["data_norm"]).reshape(-1, c), dev)
             dev_weight = None if unit_weight \
                 else jax.device_put(blk["weight"].reshape(-1, c), dev)
             cps = sampler.sample_size
@@ -1051,7 +1109,8 @@ class BlockFleetTrainer:
                 coords_mode=cc.coords_mode, half=bool(cc.half),
                 sampler=st.sampler_name,
                 cube_count=int(cc.sampler.cube_count),
-                cube_len=st.cube_len, vector_len=st.vector_len)
+                cube_len=st.cube_len, vector_len=st.vector_len,
+                dq_scale=st.dq_scale, dq_offset=st.dq_offset)
             remaining -= seg_n
         return losses
 

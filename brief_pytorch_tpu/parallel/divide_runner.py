@@ -168,6 +168,20 @@ def compress_divide(opt, log, args=None) -> Dict:
         blk["weight"] = parse_weight(chunk_pre, blk_opt.Compress.loss.weight)
         data_norm, side = normalize_data(chunk_pre, **blk_opt.Normalize)
         blk["data_norm"] = data_norm
+        # integer-gather fast path (train/samplers.py, run_block_segment):
+        # keep the raw chunk + the affine reproducing data_norm so the
+        # fleet can stack uint16 and halve its gather bytes.  Only affine
+        # normalize modes qualify.
+        if np.issubdtype(chunk_pre.dtype, np.integer):
+            nm = str(blk_opt.Normalize.name)
+            if "minmaxany" in nm:
+                a, b = (float(x) for x in nm.split("_")[1:])
+                A = (b - a) / (float(side["max"]) - float(side["min"]))
+                blk["dequant"] = (A, a - float(side["min"]) * A)
+                blk["data_raw"] = chunk_pre
+            elif nm == "none":
+                blk["dequant"] = (1.0, 0.0)
+                blk["data_raw"] = chunk_pre
         half = bool(blk_opt.Compress.half)
         given = blk_opt.Compress.param.given_size
         budget = float(given) if chunk["name"] in exception_opt and given > 0 \

@@ -231,12 +231,33 @@ class NFGR:
                     "Compress.sampler.vector_len is not supported with "
                     "Compress.data_shards > 1 (the data-parallel trainer "
                     "draws iid per-shard batches)")
+            # integer-volume fast path: gather the RAW (e.g. uint16) voxels
+            # and fold the affine normalization into a post-gather multiply
+            # — halves the gather bytes, which the iid randompoint step is
+            # measured to be bound by (1.68 -> 1.01 ms narrow class,
+            # scripts/instep_gather_ab.py / RESULTS.md).  Values agree with
+            # the host-normalized gather to f32 rounding (~1 ulp).  Only
+            # affine normalize modes qualify; the DP trainer keeps its own
+            # f32 shards.
+            dequant = None
+            if data_shards <= 1 and np.issubdtype(data_pre.dtype, np.integer):
+                nm = str(self.opt.Normalize.name)
+                if "minmaxany" in nm:
+                    a, b = (float(x) for x in nm.split("_")[1:])
+                    den = float(sideinfos["max"]) - float(sideinfos["min"])
+                    A = (b - a) / den
+                    dequant = (A, a - float(sideinfos["min"]) * A)
+                elif nm == "none":
+                    dequant = (1.0, 0.0)
             sampler = RandomPointSampler(
                 spatial, mode, int(self.opt.Compress.sampler.sample_size),
-                min(vector_len, int(np.prod(spatial))))
+                min(vector_len, int(np.prod(spatial))),
+                *(dequant if dequant else (1.0, 0.0)))
             c = data_norm.shape[-1]
             if data_shards <= 1:
-                dev_data = jnp.asarray(data_norm.reshape(-1, c))
+                dev_data = jnp.asarray(
+                    data_pre.reshape(-1, c) if dequant
+                    else data_norm.reshape(-1, c))
                 dev_weight = None if unit_weight \
                     else jnp.asarray(weight.reshape(-1, c))
             coords_per_step = sampler.sample_size

@@ -52,11 +52,36 @@ class RandomPointSampler:
     iid draw.  The fleet path (block_trainer.run_block_segment) keeps
     the expanded form: its per-block strides are traced, so the aligned
     reshape is inexpressible there.
+
+    Integer-dtype volumes: when data_flat is an integer array the gather
+    moves the RAW stored voxels (2 bytes for uint16 instead of 4 for the
+    normalized float32) and the affine normalization y = dequant_scale*x
+    + dequant_offset is applied to the gathered batch — the iid gather is
+    measured BYTE-bound on v5e (1.68 -> 1.01 ms/step for the narrow
+    class, scripts/instep_gather_ab.py flat_u16), and the conversion is
+    the same affine the host normalizer applies, so values agree with the
+    pre-normalized gather to float32 rounding (~1 ulp).  train/fit.py
+    enables this automatically for randompoint + integer volumes +
+    affine-normalization configs.
     """
     spatial_shape: Tuple[int, ...]   # (d, h, w) or (h, w)
     coords_mode: str
     sample_size: int
     vector_len: int = 1
+    dequant_scale: float = 1.0       # used only for integer data_flat
+    dequant_offset: float = 0.0
+
+    def _values(self, raw: jnp.ndarray) -> jnp.ndarray:
+        """Gathered raw batch -> normalized float32 training values."""
+        if jnp.issubdtype(raw.dtype, jnp.integer):
+            return (raw.astype(jnp.float32) * self.dequant_scale
+                    + self.dequant_offset)
+        return raw
+
+    def _coords_dtype(self, data_flat: jnp.ndarray):
+        return data_flat.dtype if jnp.issubdtype(data_flat.dtype,
+                                                 jnp.floating) \
+            else jnp.float32
 
     def sample(self, key, data_flat: jnp.ndarray, weight_flat):
         """data_flat/weight_flat: (pop, c).  Returns (coords, values, weights).
@@ -67,7 +92,7 @@ class RandomPointSampler:
         L = int(self.vector_len)
         if L <= 1:
             idx = jax.random.randint(key, (self.sample_size,), 0, pop)
-            vals = data_flat[idx]
+            vals = self._values(data_flat[idx])
             wts = weight_flat[idx] if weight_flat is not None \
                 else jnp.ones_like(vals)
         elif pop % L == 0:
@@ -83,7 +108,7 @@ class RandomPointSampler:
                    .reshape(-1)[:self.sample_size])
             row_take = lambda a: (a.reshape(pop // L, L * c)[r]
                                   .reshape(-1, c)[:self.sample_size])
-            vals = row_take(data_flat)
+            vals = self._values(row_take(data_flat))
             wts = row_take(weight_flat) if weight_flat is not None \
                 else jnp.ones_like(vals)
         else:
@@ -93,11 +118,11 @@ class RandomPointSampler:
                                         max(1, pop - L + 1))
             idx = ((starts[:, None] + jnp.arange(L)[None, :])
                    .reshape(-1)[:self.sample_size])
-            vals = data_flat[idx]
+            vals = self._values(data_flat[idx])
             wts = weight_flat[idx] if weight_flat is not None \
                 else jnp.ones_like(vals)
         coords = index_to_coords(idx, self.spatial_shape, self.coords_mode,
-                                 data_flat.dtype)
+                                 self._coords_dtype(data_flat))
         return coords, vals, wts
 
 

@@ -74,7 +74,10 @@ def main():
                                      self.coords_mode, data_flat.dtype)
             return coords, vals, wts
 
-    def bench(name, sampler, data=None):
+    def bench(name, sampler, data=None, weight=None):
+        """weight None = the production unit-weight fast path (train/fit.py
+        passes dev_weight=None for all-ones volumes; ONE gather per step).
+        Pass dev_weight to reproduce the legacy 2-gather form."""
         dat = dev_data if data is None else data
         params = model.init(jax.random.PRNGKey(42))
         opt_state = tx.init(params)
@@ -84,7 +87,7 @@ def main():
 
         def run(seed):
             state["p"], state["o"], losses = run_segment(
-                state["p"], state["o"], dat, dev_weight,
+                state["p"], state["o"], dat, weight,
                 jax.random.PRNGKey(seed), n_steps=N_STEPS, **kwargs)
             return losses
 
@@ -129,12 +132,15 @@ def main():
     dev_bf16 = jnp.asarray(data_norm.reshape(-1, 1), jnp.bfloat16)
 
     bench("flat", RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 1))
+    bench("flat_plus_weight_gather",
+          RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 1),
+          weight=dev_weight)
     bench("vec32", RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 32))
     bench("vec128", RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 128))
     bench("nogather", NoGatherSampler((64, 64, 64), "-1,1", SAMPLE))
     bench("flat_u16",
-          NarrowGatherSampler((64, 64, 64), "-1,1", SAMPLE, scale,
-                              -lo * scale), data=dev_u16)
+          RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 1,
+                             scale, -lo * scale), data=dev_u16)
     bench("flat_bf16",
           NarrowGatherSampler((64, 64, 64), "-1,1", SAMPLE, 1.0, 0.0),
           data=dev_bf16)

@@ -607,3 +607,54 @@ class TestBlockBatch:
         bb = BlockBatch.build(blocks)
         assert list(np.asarray(bb.valid)) == [64, 32]
         np.testing.assert_array_equal(np.asarray(bb.data[1, 32:]), 0)
+
+
+def test_integer_stack_matches_f32_stack():
+    """u16 stacks + per-block dequant train to the same losses as the f32
+    stacks (the gathered values agree to f32 rounding; the affine is the
+    same one normalize_data applied on the host)."""
+    from brief_pytorch_tpu.core.normalize import normalize_data
+    from brief_pytorch_tpu.models.phi import init_phi
+    from brief_pytorch_tpu.parallel.block_trainer import (build_stacked,
+                                                           run_block_segment)
+    from brief_pytorch_tpu.train.optim import make_optimizer
+
+    rng = np.random.default_rng(3)
+    blocks_f32, blocks_u16 = [], []
+    for shape in [(6, 6, 6), (4, 6, 8)]:
+        raw = rng.integers(500, 60000, (*shape, 1), dtype=np.uint16)
+        norm, side = normalize_data(raw, "minmaxany_0_100")
+        A = 100.0 / (side["max"] - side["min"])
+        w = np.ones((*shape, 1), np.float32)
+        blocks_f32.append({"data_norm": norm, "weight": w})
+        blocks_u16.append({"data_norm": norm, "weight": w,
+                           "data_raw": raw,
+                           "dequant": (A, -side["min"] * A)})
+
+    models = [init_phi({"name": "SIREN", "coords_channel": 3,
+                        "data_channel": 1, "layers": 3, "features": 12,
+                        "w0": 20, "res": False}) for _ in range(2)]
+    spec, layers0, masks, enc = build_stacked(models, jax.random.PRNGKey(5))
+    tx = make_optimizer("Adamax", 1e-3, None)
+
+    def run(blocks):
+        bb = BlockBatch.build(blocks)
+        assert (bb.dq_scale is not None) == (blocks is blocks_u16)
+        # run_block_segment donates params/opt_state: give each run its
+        # own buffers
+        layers = jax.tree_util.tree_map(jnp.copy, layers0)
+        opt_state = jax.vmap(tx.init)(layers)
+        dq = (None if bb.dq_scale is None else jnp.asarray(bb.dq_scale),
+              None if bb.dq_offset is None else jnp.asarray(bb.dq_offset))
+        _, _, losses = run_block_segment(
+            layers, opt_state, masks, enc, jnp.asarray(bb.data),
+            jnp.asarray(bb.weight), jnp.asarray(bb.valid),
+            jnp.asarray(bb.shapes), jnp.full((2,), -np.inf, jnp.float32),
+            jax.random.PRNGKey(9), spec=spec, tx=tx, loss_name="datal2",
+            beta=0.01, use_thres=False, n_steps=30, sample_size=128,
+            coords_mode="-1,1", half=False, dq_scale=dq[0], dq_offset=dq[1])
+        return np.asarray(losses)
+
+    l_f32 = run(blocks_f32)
+    l_u16 = run(blocks_u16)
+    np.testing.assert_allclose(l_u16, l_f32, rtol=2e-4, atol=2e-4)

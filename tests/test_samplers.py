@@ -6,6 +6,7 @@ slice fetches and must stay value-exact and marginally uniform away from
 the flat-array ends.
 """
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -95,3 +96,52 @@ def test_vectorised_training_reduces_loss():
         loss_name="datal2", beta=0.01, n_steps=150, half=False)
     losses = np.asarray(losses)
     assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+
+@pytest.mark.parametrize("vector_len", [1, 32])
+def test_integer_dequant_gather_matches_normalized(vector_len):
+    """Gathering the RAW uint16 volume + post-gather affine equals the
+    float32 pre-normalized gather (same key -> same indices) to f32
+    rounding — the byte-halving fast path train/fit.py auto-enables."""
+    import jax
+    import jax.numpy as jnp
+    from brief_pytorch_tpu.core.normalize import normalize_data
+    from brief_pytorch_tpu.train.samplers import RandomPointSampler
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(100, 60000, (16, 16, 16, 1), dtype=np.uint16)
+    norm, side = normalize_data(raw, "minmaxany_0_100")
+    A = 100.0 / (side["max"] - side["min"])
+    B = -side["min"] * A
+
+    s_f32 = RandomPointSampler((16, 16, 16), "-1,1", 512, vector_len)
+    s_u16 = RandomPointSampler((16, 16, 16), "-1,1", 512, vector_len, A, B)
+    key = jax.random.PRNGKey(7)
+    c_f, v_f, w_f = s_f32.sample(key, jnp.asarray(norm.reshape(-1, 1)), None)
+    c_u, v_u, w_u = s_u16.sample(key, jnp.asarray(raw.reshape(-1, 1)), None)
+    np.testing.assert_array_equal(np.asarray(c_f), np.asarray(c_u))
+    assert v_u.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_u),
+                               atol=2e-4, rtol=0)
+    np.testing.assert_array_equal(np.asarray(w_f), np.asarray(w_u))
+
+
+def test_fit_auto_enables_integer_gather(tmp_path):
+    """End-to-end: a randompoint CLI-config run on the uint16 fixture
+    trains through the integer-gather path and reaches the same quality
+    class as the f32 path (the values differ only by f32 rounding)."""
+    from brief_pytorch_tpu.core import config as cfglib
+    from brief_pytorch_tpu.train.fit import NFGR
+    from brief_pytorch_tpu.utils.logger import MyLogger
+
+    opt = cfglib.load("opt/SingleTask/default.yaml")
+    opt.CompressFramework.Compress.max_steps = 200
+    opt.CompressFramework.Compress.checkpoints = "none"
+    opt.CompressFramework.Compress.sampler.name = "randompoint"
+    opt.CompressFramework.Compress.sampler.sample_size = 4096
+    opt.CompressFramework.Decompress.mip = False
+    log = MyLogger(project_name="u16gather", outputs_dir=str(tmp_path),
+                   stdlog=False, tensorboard=False)
+    fw = NFGR(opt.CompressFramework, logger=log, seed=42)
+    res = fw.compress(str(opt.Dataset.data_path))
+    assert res["psnr"] > 24.0, res
