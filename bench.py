@@ -109,10 +109,6 @@ def bench_single(features_override=None, sampler_kind="randomcube",
 
     data = read_img(FIXTURE)
     data_norm, side = normalize_data(data, "minmaxany_0_100")
-    # integer-gather default (train/fit.py): raw uint16 volume on device,
-    # affine normalization folded into the post-gather convert
-    dq_a = 100.0 / (float(side["max"]) - float(side["min"]))
-    dq_b = -float(side["min"]) * dq_a
 
     phi_cfg = {"name": "SIREN", "coords_channel": 3, "data_channel": 1,
                "layers": 5, "w0": 20, "res": False, "output_act": False}
@@ -135,9 +131,9 @@ def bench_single(features_override=None, sampler_kind="randomcube",
         coords_per_step = 64 * 64 * 64
     else:
         sampler = RandomPointSampler((64, 64, 64), "-1,1", sample_size,
-                                     vector_len, dq_a, dq_b)
-        dev_data = jnp.asarray(data.reshape(-1, 1))     # raw uint16 gather
-        dev_weight = None                               # unit-weight fast path
+                                     vector_len)
+        dev_data = jnp.asarray(data_norm.reshape(-1, 1))
+        dev_weight = None    # unit-weight fast path (matches train/fit.py)
         coords_per_step = sample_size
 
     # fused Pallas train kernel — the framework default since r4 (same
@@ -211,16 +207,13 @@ def bench_fleet(n_steps=1500, vector_len=1,
             for x in range(2):
                 raw = data[z * 32:(z + 1) * 32, y * 32:(y + 1) * 32,
                            x * 32:(x + 1) * 32]
-                # per-block normalization, as divide_runner does per chunk —
-                # blocks carry the raw uint16 chunk + affine (the integer-
-                # gather fleet default, BlockBatch.build)
-                blk, side = normalize_data(raw, "minmaxany_0_100")
-                a = 100.0 / (float(side["max"]) - float(side["min"]))
+                # per-block normalization, as divide_runner does per chunk
+                # (f32 stacks — the default; Compress.raw_gather's u16
+                # stacks are an HBM-capacity opt-in measured ~16% slower)
+                blk, _ = normalize_data(raw, "minmaxany_0_100")
                 blocks.append({
                     "name": f"b{i}", "data_norm": blk,
                     "weight": np.ones_like(blk),
-                    "data_raw": raw,
-                    "dequant": (a, -float(side["min"]) * a),
                     "model": init_phi({"name": "SIREN", "coords_channel": 3,
                                        "data_channel": 1,
                                        "features": 40 + 4 * (i % 3),

@@ -168,11 +168,15 @@ def compress_divide(opt, log, args=None) -> Dict:
         blk["weight"] = parse_weight(chunk_pre, blk_opt.Compress.loss.weight)
         data_norm, side = normalize_data(chunk_pre, **blk_opt.Normalize)
         blk["data_norm"] = data_norm
-        # integer-gather fast path (train/samplers.py, run_block_segment):
-        # keep the raw chunk + the affine reproducing data_norm so the
-        # fleet can stack uint16 and halve its gather bytes.  Only affine
-        # normalize modes qualify.
-        if np.issubdtype(chunk_pre.dtype, np.integer):
+        # OPT-IN integer-gather path (Compress.raw_gather): keep the raw
+        # chunk + the affine reproducing data_norm so the fleet stacks
+        # uint16 — HALF the data stack's HBM residency (a capacity lever
+        # for GB volumes; NOT a speed win — the gather is measured
+        # per-index-bound and the vmapped fleet step is ~16% slower on
+        # u16 stacks, scripts/instep_gather_ab.py / RESULTS.md).  Only
+        # affine normalize modes qualify.
+        if np.issubdtype(chunk_pre.dtype, np.integer) \
+                and bool(blk_opt.Compress.get("raw_gather", False)):
             nm = str(blk_opt.Normalize.name)
             if "minmaxany" in nm:
                 a, b = (float(x) for x in nm.split("_")[1:])

@@ -231,16 +231,20 @@ class NFGR:
                     "Compress.sampler.vector_len is not supported with "
                     "Compress.data_shards > 1 (the data-parallel trainer "
                     "draws iid per-shard batches)")
-            # integer-volume fast path: gather the RAW (e.g. uint16) voxels
-            # and fold the affine normalization into a post-gather multiply
-            # — halves the gather bytes, which the iid randompoint step is
-            # measured to be bound by (1.68 -> 1.01 ms narrow class,
-            # scripts/instep_gather_ab.py / RESULTS.md).  Values agree with
+            # OPT-IN integer-volume path (Compress.raw_gather): keep the
+            # RAW (e.g. uint16) volume on device and fold the affine
+            # normalization into a post-gather multiply.  This HALVES the
+            # volume's HBM residency (capacity lever for GB volumes) but
+            # does NOT speed the step: on-chip A/Bs at 262k and 16.7M
+            # voxel populations both measure the iid gather per-INDEX
+            # bound, u16 within ±8% of f32 (scripts/instep_gather_ab.py /
+            # RESULTS.md "the gather is index-bound").  Values agree with
             # the host-normalized gather to f32 rounding (~1 ulp).  Only
             # affine normalize modes qualify; the DP trainer keeps its own
             # f32 shards.
             dequant = None
-            if data_shards <= 1 and np.issubdtype(data_pre.dtype, np.integer):
+            if data_shards <= 1 and np.issubdtype(data_pre.dtype, np.integer) \
+                    and bool(self.opt.Compress.get("raw_gather", False)):
                 nm = str(self.opt.Normalize.name)
                 if "minmaxany" in nm:
                     a, b = (float(x) for x in nm.split("_")[1:])

@@ -44,9 +44,17 @@ def main():
     from brief_pytorch_tpu.train.samplers import RandomPointSampler
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    data = read_img(os.path.join(here, "dataset", "brain", "64x64x64",
-                                 "brain-64_128-64_128-192_256.tif"))
+    # AB_VOLUME: alternative volume path — e.g. the 16.7M-voxel demo
+    # volume (dataset/example/hipct-0_64-0_512-0_512.tif), where random
+    # gathers are true HBM row fetches rather than cache hits; the 64^3
+    # fixture's 262k-voxel population fits on-chip memory and CANNOT
+    # resolve whether the gather is byte-bound at production scale
+    vol = os.environ.get("AB_VOLUME") or os.path.join(
+        here, "dataset", "brain", "64x64x64",
+        "brain-64_128-64_128-192_256.tif")
+    data = read_img(vol)
     data_norm, _ = normalize_data(data, "minmaxany_0_100")
+    SHAPE = tuple(int(s) for s in data.shape[:-1])
     dev_data = jnp.asarray(data_norm.reshape(-1, 1))
     dev_weight = jnp.ones_like(dev_data)
 
@@ -131,18 +139,18 @@ def main():
     dev_u16 = jnp.asarray(data.reshape(-1, 1))          # uint16 as stored
     dev_bf16 = jnp.asarray(data_norm.reshape(-1, 1), jnp.bfloat16)
 
-    bench("flat", RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 1))
+    bench("flat", RandomPointSampler(SHAPE, "-1,1", SAMPLE, 1))
     bench("flat_plus_weight_gather",
-          RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 1),
+          RandomPointSampler(SHAPE, "-1,1", SAMPLE, 1),
           weight=dev_weight)
-    bench("vec32", RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 32))
-    bench("vec128", RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 128))
-    bench("nogather", NoGatherSampler((64, 64, 64), "-1,1", SAMPLE))
+    bench("vec32", RandomPointSampler(SHAPE, "-1,1", SAMPLE, 32))
+    bench("vec128", RandomPointSampler(SHAPE, "-1,1", SAMPLE, 128))
+    bench("nogather", NoGatherSampler(SHAPE, "-1,1", SAMPLE))
     bench("flat_u16",
-          RandomPointSampler((64, 64, 64), "-1,1", SAMPLE, 1,
+          RandomPointSampler(SHAPE, "-1,1", SAMPLE, 1,
                              scale, -lo * scale), data=dev_u16)
     bench("flat_bf16",
-          NarrowGatherSampler((64, 64, 64), "-1,1", SAMPLE, 1.0, 0.0),
+          NarrowGatherSampler(SHAPE, "-1,1", SAMPLE, 1.0, 0.0),
           data=dev_bf16)
 
 

@@ -126,10 +126,11 @@ def test_integer_dequant_gather_matches_normalized(vector_len):
     np.testing.assert_array_equal(np.asarray(w_f), np.asarray(w_u))
 
 
-def test_fit_auto_enables_integer_gather(tmp_path):
-    """End-to-end: a randompoint CLI-config run on the uint16 fixture
-    trains through the integer-gather path and reaches the same quality
-    class as the f32 path (the values differ only by f32 rounding)."""
+def test_fit_raw_gather_opt_in(tmp_path):
+    """End-to-end: a randompoint run on the uint16 fixture with
+    Compress.raw_gather (the HBM-halving opt-in) trains through the
+    integer-gather path and reaches the same quality class as the f32
+    path (the values differ only by f32 rounding)."""
     from brief_pytorch_tpu.core import config as cfglib
     from brief_pytorch_tpu.train.fit import NFGR
     from brief_pytorch_tpu.utils.logger import MyLogger
@@ -139,6 +140,7 @@ def test_fit_auto_enables_integer_gather(tmp_path):
     opt.CompressFramework.Compress.checkpoints = "none"
     opt.CompressFramework.Compress.sampler.name = "randompoint"
     opt.CompressFramework.Compress.sampler.sample_size = 4096
+    opt.CompressFramework.Compress.raw_gather = True
     opt.CompressFramework.Decompress.mip = False
     log = MyLogger(project_name="u16gather", outputs_dir=str(tmp_path),
                    stdlog=False, tensorboard=False)
