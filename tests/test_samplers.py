@@ -98,22 +98,22 @@ def test_vectorised_training_reduces_loss():
     assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
 
 
-@pytest.mark.parametrize("vector_len", [1, 32])
-def test_integer_dequant_gather_matches_normalized(vector_len):
-    """Gathering the RAW uint16 volume + post-gather affine equals the
-    float32 pre-normalized gather (same key -> same indices) to f32
-    rounding — the byte-halving fast path train/fit.py auto-enables."""
-    import jax
-    import jax.numpy as jnp
-    from brief_pytorch_tpu.core.normalize import normalize_data
-    from brief_pytorch_tpu.train.samplers import RandomPointSampler
+_DEQUANT_WORKER = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+sys.path.insert(0, sys.argv[1])
+from brief_pytorch_tpu.core.normalize import normalize_data
+from brief_pytorch_tpu.train.samplers import RandomPointSampler
 
-    rng = np.random.default_rng(0)
-    raw = rng.integers(100, 60000, (16, 16, 16, 1), dtype=np.uint16)
-    norm, side = normalize_data(raw, "minmaxany_0_100")
-    A = 100.0 / (side["max"] - side["min"])
-    B = -side["min"] * A
-
+rng = np.random.default_rng(0)
+raw = rng.integers(100, 60000, (16, 16, 16, 1), dtype=np.uint16)
+norm, side = normalize_data(raw, "minmaxany_0_100")
+A = 100.0 / (side["max"] - side["min"])
+B = -side["min"] * A
+for vector_len in (1, 32):
     s_f32 = RandomPointSampler((16, 16, 16), "-1,1", 512, vector_len)
     s_u16 = RandomPointSampler((16, 16, 16), "-1,1", 512, vector_len, A, B)
     key = jax.random.PRNGKey(7)
@@ -124,26 +124,77 @@ def test_integer_dequant_gather_matches_normalized(vector_len):
     np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_u),
                                atol=2e-4, rtol=0)
     np.testing.assert_array_equal(np.asarray(w_f), np.asarray(w_u))
+print("DEQUANT GATHER OK")
+"""
+
+
+def test_integer_dequant_gather_matches_normalized(tmp_path):
+    """Gathering the RAW uint16 volume + post-gather affine equals the
+    float32 pre-normalized gather (same key -> same indices) to f32
+    rounding — the Compress.raw_gather opt-in path.
+
+    Runs in a SUBPROCESS: late in the full suite the XLA CPU compiler
+    segfaults compiling even this test's trivial randint program (the
+    known cumulative-programs crash documented in tests/test_resume.py
+    and CLAUDE.md); any fresh process passes."""
+    import os
+    import subprocess
+    import sys
+    script = tmp_path / "worker_dequant.py"
+    script.write_text(_DEQUANT_WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, str(script), repo], capture_output=True, text=True,
+        timeout=600, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-3000:]
+    assert "DEQUANT GATHER OK" in p.stdout
+
+
+_RAW_GATHER_WORKER = r"""
+import os
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+repo, outdir = sys.argv[1], sys.argv[2]
+sys.path.insert(0, repo)
+os.chdir(repo)
+from brief_pytorch_tpu.core import config as cfglib
+from brief_pytorch_tpu.train.fit import NFGR
+from brief_pytorch_tpu.utils.logger import MyLogger
+
+opt = cfglib.load("opt/SingleTask/default.yaml")
+opt.CompressFramework.Compress.max_steps = 200
+opt.CompressFramework.Compress.checkpoints = "none"
+opt.CompressFramework.Compress.sampler.name = "randompoint"
+opt.CompressFramework.Compress.sampler.sample_size = 4096
+opt.CompressFramework.Compress.raw_gather = True
+opt.CompressFramework.Decompress.mip = False
+log = MyLogger(project_name="u16gather", outputs_dir=outdir,
+               stdlog=False, tensorboard=False)
+fw = NFGR(opt.CompressFramework, logger=log, seed=42)
+res = fw.compress(str(opt.Dataset.data_path))
+assert res["psnr"] > 24.0, res
+print("RAW GATHER OK", res["psnr"])
+"""
 
 
 def test_fit_raw_gather_opt_in(tmp_path):
     """End-to-end: a randompoint run on the uint16 fixture with
     Compress.raw_gather (the HBM-halving opt-in) trains through the
     integer-gather path and reaches the same quality class as the f32
-    path (the values differ only by f32 rounding)."""
-    from brief_pytorch_tpu.core import config as cfglib
-    from brief_pytorch_tpu.train.fit import NFGR
-    from brief_pytorch_tpu.utils.logger import MyLogger
+    path (the values differ only by f32 rounding).
 
-    opt = cfglib.load("opt/SingleTask/default.yaml")
-    opt.CompressFramework.Compress.max_steps = 200
-    opt.CompressFramework.Compress.checkpoints = "none"
-    opt.CompressFramework.Compress.sampler.name = "randompoint"
-    opt.CompressFramework.Compress.sampler.sample_size = 4096
-    opt.CompressFramework.Compress.raw_gather = True
-    opt.CompressFramework.Decompress.mip = False
-    log = MyLogger(project_name="u16gather", outputs_dir=str(tmp_path),
-                   stdlog=False, tensorboard=False)
-    fw = NFGR(opt.CompressFramework, logger=log, seed=42)
-    res = fw.compress(str(opt.Dataset.data_path))
-    assert res["psnr"] > 24.0, res
+    Subprocess-isolated for the same cumulative XLA-CPU compiler crash
+    as test_integer_dequant_gather_matches_normalized above."""
+    import os
+    import subprocess
+    import sys
+    script = tmp_path / "worker_raw_gather.py"
+    script.write_text(_RAW_GATHER_WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, str(script), repo, str(tmp_path)],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-3000:]
+    assert "RAW GATHER OK" in p.stdout
