@@ -189,8 +189,11 @@ def bench_single(features_override=None, sampler_kind="randomcube",
 
 
 def bench_fleet(n_steps=1500, vector_len=1,
-                metric="fleet_coords_per_sec_per_chip"):
-    """8-block stacked fleet on one chip (the DivideTask hot path)."""
+                metric="fleet_coords_per_sec_per_chip", fused=True):
+    """8-block stacked fleet on one chip (the DivideTask hot path).
+
+    fused=False forces the XLA stacked_apply path (Compress.fused_train:
+    false) for A/B against the default vmapped fused kernel."""
     import jax
     from brief_pytorch_tpu.core import config as cfglib
     from brief_pytorch_tpu.core.normalize import normalize_data
@@ -225,6 +228,7 @@ sampler: {{name: randompoint, cube_count: 1, cube_len: [32,32,32],
           sample_size: 32768, gpu_force: true, vector_len: {vector_len}}}
 loss: {{name: datal2, beta: 0.01, weight: [none], weight_thres: 0}}
 half: false
+fused_train: {str(bool(fused)).lower()}
 coords_mode: "-1,1"
 optimizer_name_phi: Adamax
 lr_phi: 0.001
@@ -249,6 +253,8 @@ lr_scheduler_phi: {{name: none}}
     fpc = _chain_matmul_flops_per_coord(blocks[0]["model"])
     extras = {"blocks": 8, "coords_per_step": coords_per_step,
               "device_kind": kind, "anchor": "estimated",
+              "fused": bool(trainer._states
+                            and trainer._states[0].fused),
               "achieved_matmul_tflops": round(coords_per_sec * fpc / 1e12, 3)}
     if peak:
         extras["mfu"] = round(coords_per_sec * fpc / peak, 4)

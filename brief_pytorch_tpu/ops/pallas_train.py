@@ -69,10 +69,13 @@ def _act_fwd_fm(z, act: str, w0: float):
 
 def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
                        tile: int, loss_name: str, beta: float,
-                       weight_thres, compute_dtype):
+                       weight_thres, compute_dtype,
+                       mask_layers=(), dyn_thres=False):
     """Kernel refs layout:
       coords (C, tile), values (Cout, tile), weights (Cout, tile),
       then per layer: wt (fout, fin), w (fin, fout), b (fout, 1),
+      then per MASKED layer (mask_layers[l]): mask (fout, 1),
+      then, iff dyn_thres, thres (1, 1) SMEM,
       outputs: loss (1,1) SMEM, per layer dwt (fout, fin), db (fout, 1),
       scratch: d_l (f_l, tile) for every layer with act != 'none', then
       per HIDDEN layer h_l (f_l, tile).  The forward computes each
@@ -84,8 +87,20 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
       evals/activation, 0.93x XLA), the first r4 kernel stored h but
       still paid a full cos reduction in backward (2 evals, 1.21x); this
       form pays ~1.3 evals' worth once, in the forward.
+
+    mask_layers: per-layer bool — that layer's post-activation units are
+      multiplied by a 0/1 validity mask (the block fleet's width padding,
+      parallel/block_trainer.stacked_apply): masking BOTH h and its stored
+      derivative keeps valid math exact (adding 0.0 terms to a float sum)
+      and provably zeroes every gradient into padded units — including the
+      sigmoid(0)=0.5 case that bars an unmasked kernel from padded stacks.
+    dyn_thres: take weight_thres as a TRACED (1,1) input instead of the
+      static python float (the fleet's thres is per-block, -inf when
+      disabled; block_trainer.run_block_segment).
     """
-    n_in = 3 + 3 * n_layers
+    n_base = 3 + 3 * n_layers
+    n_masks = sum(bool(m) for m in mask_layers)
+    n_in = n_base + n_masks + (1 if dyn_thres else 0)
     needs_d = [acts[l][0] != "none" for l in range(n_layers)]
 
     def kernel(*refs):
@@ -94,6 +109,13 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
         wt_in_refs = [refs[3 + 3 * l] for l in range(n_layers)]
         w_in_refs = [refs[3 + 3 * l + 1] for l in range(n_layers)]
         b_in_refs = [refs[3 + 3 * l + 2] for l in range(n_layers)]
+        mask_refs = {}
+        j = n_base
+        for l in range(n_layers):
+            if mask_layers and mask_layers[l]:
+                mask_refs[l] = refs[j]
+                j += 1
+        thres_ref = refs[j] if dyn_thres else None
         loss_ref = refs[n_in]
         dwt_refs = [refs[n_in + 1 + 2 * l] for l in range(n_layers)]
         db_refs = [refs[n_in + 1 + 2 * l + 1] for l in range(n_layers)]
@@ -117,6 +139,11 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
                 preferred_element_type=jnp.float32) + b_in_refs[l][:]
             act, w0 = acts[l]
             h, d = _act_fwd_fm(z, act, w0)
+            if l in mask_refs:
+                m = mask_refs[l][:]
+                h = h * m
+                if d is not None:
+                    d = d * m   # stored masked: backward needs no re-mask
             if needs_d[l]:
                 d_refs[l][:] = d
             if l < n_layers - 1:
@@ -130,7 +157,9 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
         gidx = (i * tile
                 + jax.lax.broadcasted_iota(jnp.int32, pred.shape, 1))
         valid = (gidx < n_true).astype(pred.dtype)
-        if weight_thres:
+        if dyn_thres:
+            w_eff = jnp.where(pred <= thres_ref[0, 0], 1.0, w_vox)
+        elif weight_thres:
             w_eff = jnp.where(pred <= weight_thres, 1.0, w_vox)
         else:
             w_eff = w_vox
@@ -152,6 +181,9 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
         # chains end in sine/sigmoid, not just 'none')
         if needs_d[n_layers - 1]:
             g = g * d_refs[n_layers - 1][:]
+        elif (n_layers - 1) in mask_refs:
+            # masked identity layer: d is the mask itself
+            g = g * mask_refs[n_layers - 1][:]
 
         @pl.when(i == 0)
         def _():
@@ -183,21 +215,27 @@ def _make_train_kernel(acts: LayerSpec, n_layers: int, n_true: int,
                     preferred_element_type=jnp.float32)
                 if needs_d[l - 1]:
                     g = g * d_refs[l - 1][:]
+                elif (l - 1) in mask_refs:
+                    g = g * mask_refs[l - 1][:]
 
     return kernel
 
 
 @functools.partial(
     jax.jit, static_argnames=("acts", "n_true", "tile", "loss_name", "beta",
-                              "weight_thres", "interpret", "half"))
+                              "weight_thres", "interpret", "half",
+                              "mask_layers"))
 def _fused_grads_padded(coords_t, values_t, weights_t, wts, ws, bs,
+                        masks_t, thres_t,
                         acts: LayerSpec, n_true: int, tile: int,
                         loss_name: str, beta: float, weight_thres,
-                        interpret: bool, half: bool):
+                        interpret: bool, half: bool,
+                        mask_layers: tuple):
     n_layers = len(acts)
     c_in, n_pad = coords_t.shape
     grid = (n_pad // tile,)
     compute_dtype = jnp.bfloat16 if half else None
+    dyn_thres = thres_t is not None
 
     def batch_spec(rows):
         return pl.BlockSpec((rows, tile), lambda i: (0, i),
@@ -214,6 +252,13 @@ def _fused_grads_padded(coords_t, values_t, weights_t, wts, ws, bs,
         flat.extend([wts[l], ws[l], bs[l]])
         in_specs.extend([full_spec(wts[l].shape), full_spec(ws[l].shape),
                          full_spec(bs[l].shape)])
+    for m in masks_t:
+        flat.append(m)
+        in_specs.append(full_spec(m.shape))
+    if dyn_thres:
+        flat.append(thres_t)
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
 
     out_shape = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
     out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -235,7 +280,8 @@ def _fused_grads_padded(coords_t, values_t, weights_t, wts, ws, bs,
     flops = 3 * sum(2 * tile * w.shape[0] * w.shape[1] for w in ws) * grid[0]
     outs = pl.pallas_call(
         _make_train_kernel(acts, n_layers, n_true, tile, loss_name, beta,
-                           weight_thres, compute_dtype),
+                           weight_thres, compute_dtype,
+                           mask_layers=mask_layers, dyn_thres=dyn_thres),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -262,13 +308,23 @@ def _fused_grads_padded(coords_t, values_t, weights_t, wts, ws, bs,
 def fused_train_grads(layers, coords_t, values_t, weights_t, acts: LayerSpec,
                       *, loss_name: str, beta: float = 0.01,
                       weight_thres=None, tile: int = DEFAULT_TILE,
-                      interpret: bool = False, half: bool = False):
+                      interpret: bool = False, half: bool = False,
+                      unit_masks=None, dynamic_thres=None):
     """(loss, grads) for weighted-loss fitting of a plain activation chain.
 
     layers: [{'w': (fin, fout), 'b': (fout,)}, ...] float32
     coords_t: (C, N); values_t/weights_t: (Cout, N)  — feature-major.
     grads matches the pytree structure of `layers`.
+
+    unit_masks: optional per-layer sequence of None or (fout,) 0/1 arrays —
+      the block fleet's padded-width validity masks (block_trainer
+      stacked_apply semantics: applied to the post-activation).  Valid-unit
+      math stays exact and padded units provably get zero gradients.
+    dynamic_thres: optional TRACED scalar weight_thres (per-fleet-block;
+      -inf disables) — mutually exclusive with the static weight_thres.
     """
+    if dynamic_thres is not None and weight_thres:
+        raise ValueError("pass weight_thres statically OR dynamically")
     n = coords_t.shape[1]
     tile = min(tile, _round_up(n, 512))
     # keep (d + h) scratch within a conservative VMEM budget:
@@ -287,9 +343,17 @@ def fused_train_grads(layers, coords_t, values_t, weights_t, acts: LayerSpec,
     ws = tuple(l["w"].astype(jnp.float32) for l in layers)
     bs = tuple(l["b"].astype(jnp.float32)[:, None] for l in layers)
     wt_static = None if not weight_thres else float(weight_thres)
+    if unit_masks is None:
+        unit_masks = [None] * len(layers)
+    mask_layers = tuple(m is not None for m in unit_masks)
+    masks_t = tuple(jnp.asarray(m, jnp.float32)[:, None]
+                    for m in unit_masks if m is not None)
+    thres_t = None if dynamic_thres is None else \
+        jnp.asarray(dynamic_thres, jnp.float32).reshape(1, 1)
     loss, grads = _fused_grads_padded(
-        coords_t, values_t, weights_t, wts, ws, bs, acts, n, tile,
-        loss_name, float(beta), wt_static, interpret, half)
+        coords_t, values_t, weights_t, wts, ws, bs, masks_t, thres_t,
+        acts, n, tile, loss_name, float(beta), wt_static, interpret, half,
+        mask_layers)
     return loss, {"layers": grads}
 
 

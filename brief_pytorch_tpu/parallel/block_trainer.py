@@ -384,10 +384,28 @@ def vector_run_starts(key, shape_vec, L: int, n_runs: int) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 # vmapped training
 # --------------------------------------------------------------------------
+def fleet_fused_supported(spec: StackedChainSpec, loss_name: str,
+                          sampler_name: str, half: bool) -> bool:
+    """Whether the fused Pallas train kernel (ops/pallas_train.py) can run
+    a stacked bucket: plain f32 activation chains (no encoder/skip/res),
+    the two kernel losses, and a sampler that yields all-valid batches
+    (fullbatch needs the per-block valid-voxel mask the kernel's static
+    n_true cannot express)."""
+    from brief_pytorch_tpu.ops.pallas_siren import _HAS_PALLAS
+    return (_HAS_PALLAS and not half
+            and loss_name in ("datal2", "datasmoothl1")
+            and sampler_name != "fullbatch"
+            and spec.encoder == "none"
+            and spec.skip_entry < 0
+            and all(k == "plain" and a in ("sine", "relu", "sigmoid", "none")
+                    for k, a, _ in spec.entries))
+
+
 @partial(jax.jit,
          static_argnames=("spec", "tx", "loss_name", "beta", "use_thres",
                           "n_steps", "sample_size", "coords_mode", "half",
-                          "sampler", "cube_count", "cube_len", "vector_len"),
+                          "sampler", "cube_count", "cube_len", "vector_len",
+                          "fused"),
          donate_argnums=(0, 1))
 def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
                       valid, shapes, thres, key, *, spec: StackedChainSpec,
@@ -395,7 +413,8 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
                       n_steps: int, sample_size: int, coords_mode: str,
                       half: bool, sampler: str = "randompoint",
                       cube_count: int = 1, cube_len: Tuple[int, ...] = (),
-                      vector_len: int = 1, dq_scale=None, dq_offset=None):
+                      vector_len: int = 1, dq_scale=None, dq_offset=None,
+                      fused=False):
     """n_steps of simultaneous training for all B blocks (one scan).
 
     Each step vmaps sample+forward+backward+update over the block axis;
@@ -403,6 +422,13 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
     sampler: 'randompoint' | 'randomcube' (true sub-cube draws, reference
     main.py:38-125) | 'fullbatch' (exact when the clipped cube covers the
     whole block for every block in the bucket).
+    fused: False (XLA autodiff over stacked_apply) | True (the fused
+    Pallas train kernel vmapped over the block axis — pallas batching
+    adds a grid dimension; padding-width masks ride into the kernel as
+    unit_masks, per-block thres as its traced input) | "interpret" (the
+    kernel in interpreter mode, for CPU tests).  Callers gate with
+    fleet_fused_supported; the per-block draw is identical in both
+    paths.
     thres: (B,) per-block normalized weight_thres — each block normalizes
     the config threshold with its OWN min/max (reference: each child runs
     main.py:380-383 on its own chunk), so it cannot be a shared scalar.
@@ -425,8 +451,9 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
     # integer-divide hardware — `//`/`%` by a traced value lowers to a slow
     # expansion (measured 45 ms/step vs ~1 ms).  Every per-voxel path below
     # therefore works in per-axis indices with multiplies only.
-    def block_loss(layers_b, masks_b, enc_b, data_b, weight_b, valid_b,
-                   shape_b, thres_b, dq_a, dq_b, key_b):
+    def draw(data_b, weight_b, valid_b, shape_b, dq_a, dq_b, key_b):
+        """ONE block's per-step batch: (coords, vals, wts, sample_valid).
+        Shared verbatim by the XLA and fused paths (vmapped over blocks)."""
         ndim = shapes.shape[1]
         # integer stacks: dequantize the gathered batch to normalized f32
         # (trace-time branch — dtype is static under jit)
@@ -525,6 +552,12 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
                 else jnp.ones_like(vals)
             sample_valid = None
         coords = axes_to_coords(axes, shape_b, coords_mode)
+        return coords, vals, wts, sample_valid
+
+    def block_loss(layers_b, masks_b, enc_b, data_b, weight_b, valid_b,
+                   shape_b, thres_b, dq_a, dq_b, key_b):
+        coords, vals, wts, sample_valid = draw(data_b, weight_b, valid_b,
+                                               shape_b, dq_a, dq_b, key_b)
         pred = stacked_apply(layers_b, masks_b, coords, spec, enc_b,
                              compute_dtype)
         pred = pred.astype(vals.dtype)
@@ -545,14 +578,35 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
         err = err * w * sample_valid
         return err.sum() / jnp.maximum(valid_b.astype(jnp.float32), 1.0)
 
+    if fused:
+        from brief_pytorch_tpu.ops.pallas_train import fused_train_grads
+        acts = tuple((a, float(w0)) for _, a, w0 in spec.entries)
+
+        def fused_block(layers_b, masks_b, c_b, v_b, w_b, thres_b):
+            # the last layer's output width is topology-level (equal
+            # across the bucket) — stacked_apply masks only ei < n_ent-1
+            um = list(masks_b[:-1]) + [None]
+            return fused_train_grads(
+                layers_b, c_b.T, v_b.T, w_b.T, acts,
+                loss_name=loss_name, beta=beta, unit_masks=um,
+                dynamic_thres=thres_b if use_thres else None,
+                half=half, interpret=fused == "interpret")
+
     def step_fn(carry, key):
         params_layers, opt_state = carry
         keys = jax.random.split(key, B)
 
-        losses, grads = jax.vmap(
-            jax.value_and_grad(block_loss), in_axes=(0,) * 11
-        )(params_layers, masks, enc, data, weight, valid, shapes, thres,
-          dq_scale, dq_offset, keys)
+        if fused:
+            coords, vals, wts, _ = jax.vmap(draw)(
+                data, weight, valid, shapes, dq_scale, dq_offset, keys)
+            losses, gradd = jax.vmap(fused_block)(
+                params_layers, masks, coords, vals, wts, thres)
+            grads = gradd["layers"]
+        else:
+            losses, grads = jax.vmap(
+                jax.value_and_grad(block_loss), in_axes=(0,) * 11
+            )(params_layers, masks, enc, data, weight, valid, shapes, thres,
+              dq_scale, dq_offset, keys)
         updates, new_opt_state = jax.vmap(tx.update)(grads, opt_state,
                                                      params_layers)
         params_layers = optax.apply_updates(params_layers, updates)
@@ -622,6 +676,7 @@ class _BucketState:
     vector_len: int = 1                # clamped to the bucket min last axis
     dq_scale: object = None            # (B,) per-block dequant (integer stacks)
     dq_offset: object = None
+    fused: object = False              # fused Pallas kernel (False|True|"interpret")
 
 
 @dataclass
@@ -848,6 +903,9 @@ class BlockFleetTrainer:
             # the integer-gather path's training values differ from the
             # pre-normalized f32 gather by ~1 ulp — not bit-mixable
             "dequant": [b.get("dequant") is not None for b in blocks],
+            # the fused kernel's math ≠ XLA's bitwise (train/fit.py has the
+            # same guard for the solo trainer)
+            "fused": [bool(st.fused) for st in self._states],
         }
 
     def _save_state(self, path: str, step: int, fingerprint: Dict) -> None:
@@ -979,6 +1037,21 @@ class BlockFleetTrainer:
                             cc.lr_scheduler_phi)
         opt_state = jax.vmap(tx.init)(params_layers)
 
+        # fused Pallas train kernel for the bucket (same Compress.fused_train
+        # flag and TPU gate as the solo trainer, train/fit.py; the vmapped
+        # kernel was verified bit-identical to per-block kernel calls on
+        # chip).  Restricted to single-block-shard meshes: a pallas_call has
+        # no SPMD partitioning rule, so on a >1-shard block axis XLA would
+        # all-gather the stacks instead of running per-shard — multi-chip
+        # fleets keep the XLA path until a shard_map wrapper lands.
+        fused = False
+        if cc.get("fused_train", True) \
+                and int(mesh.shape["blocks"]) == 1 \
+                and jax.devices()[0].platform == "tpu" \
+                and fleet_fused_supported(spec, cc.loss.name, sampler_name,
+                                          bool(cc.half)):
+            fused = True
+
         # host_to_global: single-process this is a plain device_put onto the
         # mesh; under jax.distributed every process holds the full host
         # value (shared-filesystem hand-off, like the reference's children,
@@ -1009,7 +1082,8 @@ class BlockFleetTrainer:
             tx=tx, key=jax.random.PRNGKey(self.seed + 1),
             thres=put(thres_arr), mesh=mesh,
             use_thres=bool(np.any(thres_host != 0.0)),
-            sampler_name=sampler_name, cube_len=cube_len, vector_len=vec)
+            sampler_name=sampler_name, cube_len=cube_len, vector_len=vec,
+            fused=fused)
 
     def _prepare_solo(self, blocks: List[Dict], idx: int, cc,
                       fleet_max_steps: int, solo_slot: int = 0
@@ -1110,7 +1184,8 @@ class BlockFleetTrainer:
                 sampler=st.sampler_name,
                 cube_count=int(cc.sampler.cube_count),
                 cube_len=st.cube_len, vector_len=st.vector_len,
-                dq_scale=st.dq_scale, dq_offset=st.dq_offset)
+                dq_scale=st.dq_scale, dq_offset=st.dq_offset,
+                fused=st.fused)
             remaining -= seg_n
         return losses
 

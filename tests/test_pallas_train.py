@@ -168,3 +168,135 @@ def test_fused_grads_sirenpos_pre_encode_match_xla():
                                    atol=1e-5, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(g["b"]), np.asarray(rg["b"]),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_fused_grads_unit_masks_exact_padding_invariance():
+    """The fleet form (block_trainer padded widths): zero-extending a
+    chain's widths and passing the validity masks as unit_masks must leave
+    the loss EXACTLY unchanged and give padded units EXACTLY zero
+    gradient — including through a sigmoid hidden layer (sigmoid(0)=0.5 is
+    the case an unmasked kernel cannot pad).  Valid-unit gradients are
+    checked to ~1 ulp: the added terms are exact 0.0s, but a
+    differently-SHAPED dot may reduce in a different order on the
+    interpret (XLA CPU) backend."""
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 8)
+    C, N, F, FP = 3, 700, 10, 16
+    acts = (("sine", 25.0), ("sigmoid", 1.0), ("none", 1.0))
+    lay = [
+        {"w": jax.random.normal(ks[0], (C, F)) * 0.3,
+         "b": jax.random.normal(ks[3], (F,)) * 0.1},
+        {"w": jax.random.normal(ks[1], (F, F)) * 0.3,
+         "b": jax.random.normal(ks[4], (F,)) * 0.1},
+        {"w": jax.random.normal(ks[2], (F, 1)) * 0.3, "b": jnp.zeros((1,))},
+    ]
+
+    def padw(w, fi, fo):
+        return jnp.zeros((fi, fo), jnp.float32).at[
+            :w.shape[0], :w.shape[1]].set(w)
+
+    layp = [
+        {"w": padw(lay[0]["w"], C, FP), "b": jnp.pad(lay[0]["b"], (0, FP - F))},
+        {"w": padw(lay[1]["w"], FP, FP), "b": jnp.pad(lay[1]["b"], (0, FP - F))},
+        {"w": padw(lay[2]["w"], FP, 1), "b": lay[2]["b"]},
+    ]
+    mask = jnp.concatenate([jnp.ones(F), jnp.zeros(FP - F)])
+    coords = jax.random.uniform(ks[5], (C, N), minval=-1, maxval=1)
+    values = jax.random.uniform(ks[6], (1, N))
+    weights = 0.5 + jax.random.uniform(ks[7], (1, N))
+
+    l0, g0 = pt.fused_train_grads(lay, coords, values, weights, acts,
+                                  loss_name="datal2", tile=256,
+                                  interpret=True)
+    l1, g1 = pt.fused_train_grads(layp, coords, values, weights, acts,
+                                  loss_name="datal2", tile=256,
+                                  interpret=True,
+                                  unit_masks=[mask, mask, None])
+    assert float(l0) == float(l1)
+    for li, (gu, gp) in enumerate(zip(g0["layers"], g1["layers"])):
+        fi, fo = gu["w"].shape
+        gpw = np.asarray(gp["w"])
+        np.testing.assert_allclose(gpw[:fi, :fo], np.asarray(gu["w"]),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"valid dW layer {li}")
+        np.testing.assert_allclose(np.asarray(gp["b"])[:fo],
+                                   np.asarray(gu["b"]),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"valid db layer {li}")
+        assert np.abs(gpw[fi:, :]).max(initial=0.0) == 0.0, li
+        assert np.abs(gpw[:, fo:]).max(initial=0.0) == 0.0, li
+        assert np.abs(np.asarray(gp["b"])[fo:]).max(initial=0.0) == 0.0, li
+
+
+def test_fused_grads_dynamic_thres_matches_static():
+    """The fleet's per-block traced weight_thres input must equal the
+    static-float form exactly, and -inf (the fleet's 'disabled' encoding,
+    block_trainer._prepare_bucket) must equal no-threshold exactly."""
+    model, params, coords, values, weights = _setup()
+    acts = ps.chain_layer_specs(model.spec)
+    l_s, g_s = pt.fused_train_grads(
+        params["layers"], coords.T, values.T, weights.T, acts,
+        loss_name="datasmoothl1", weight_thres=0.4, tile=256, interpret=True)
+    l_d, g_d = pt.fused_train_grads(
+        params["layers"], coords.T, values.T, weights.T, acts,
+        loss_name="datasmoothl1", dynamic_thres=jnp.float32(0.4), tile=256,
+        interpret=True)
+    assert float(l_s) == float(l_d)
+    for gs, gd in zip(g_s["layers"], g_d["layers"]):
+        np.testing.assert_array_equal(np.asarray(gs["w"]), np.asarray(gd["w"]))
+    l_off, _ = pt.fused_train_grads(
+        params["layers"], coords.T, values.T, weights.T, acts,
+        loss_name="datasmoothl1", tile=256, interpret=True)
+    l_inf, _ = pt.fused_train_grads(
+        params["layers"], coords.T, values.T, weights.T, acts,
+        loss_name="datasmoothl1", dynamic_thres=jnp.float32(-np.inf),
+        tile=256, interpret=True)
+    assert float(l_off) == float(l_inf)
+
+
+def test_fleet_fused_segment_matches_xla_path():
+    """run_block_segment(fused="interpret") — the vmapped fused kernel with
+    width masks and per-block traced thres — trains a mixed-width SIREN
+    bucket to the same losses/params as the XLA stacked_apply path (same
+    keys -> same draws), and padded units stay exactly zero."""
+    from brief_pytorch_tpu.parallel.block_trainer import (
+        build_stacked, fleet_fused_supported, run_block_segment)
+    from brief_pytorch_tpu.train.optim import make_optimizer
+
+    feats = [8, 12, 10]
+    models = [init_phi({"name": "SIREN", "coords_channel": 3,
+                        "data_channel": 1, "features": f, "layers": 3,
+                        "w0": 25, "res": False}) for f in feats]
+    spec, params, masks, enc = build_stacked(models, jax.random.PRNGKey(7))
+    assert fleet_fused_supported(spec, "datal2", "randompoint", False)
+    assert not fleet_fused_supported(spec, "datal2", "fullbatch", False)
+
+    rng = np.random.default_rng(0)
+    B, V = len(feats), 6 * 6 * 6
+    data = jnp.asarray(rng.uniform(0, 1, (B, V, 1)).astype(np.float32))
+    valid = jnp.full((B,), V, jnp.int32)
+    shapes = jnp.tile(jnp.asarray([[6, 6, 6]], jnp.int32), (B, 1))
+    thres = jnp.asarray([0.4, -np.inf, 0.6], jnp.float32)
+    tx = make_optimizer("Adamax", 1e-3, {"name": "none"})
+    opt0 = jax.vmap(tx.init)(params)
+    kw = dict(spec=spec, tx=tx, loss_name="datal2", beta=0.01,
+              use_thres=True, n_steps=10, sample_size=256,
+              coords_mode="-1,1", half=False, sampler="randompoint")
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+
+    pa, _, la = run_block_segment(copy(params), copy(opt0), masks, enc,
+                                  data, None, valid, shapes, thres,
+                                  jax.random.PRNGKey(3), fused=False, **kw)
+    pb, _, lb = run_block_segment(copy(params), copy(opt0), masks, enc,
+                                  data, None, valid, shapes, thres,
+                                  jax.random.PRNGKey(3), fused="interpret",
+                                  **kw)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(pa),
+                    jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # block 0 (true width 8) padded to 12: its padding never moves
+    w1 = np.asarray(pb[1]["w"])
+    assert np.abs(w1[0, 8:, :]).max() == 0.0
+    assert np.abs(w1[0, :, 8:]).max() == 0.0
