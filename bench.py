@@ -253,8 +253,7 @@ lr_scheduler_phi: {{name: none}}
     fpc = _chain_matmul_flops_per_coord(blocks[0]["model"])
     extras = {"blocks": 8, "coords_per_step": coords_per_step,
               "device_kind": kind, "anchor": "estimated",
-              "fused": bool(trainer._states
-                            and trainer._states[0].fused),
+              "fused": trainer.fused_paths(),
               "achieved_matmul_tflops": round(coords_per_sec * fpc / 1e12, 3)}
     if peak:
         extras["mfu"] = round(coords_per_sec * fpc / peak, 4)

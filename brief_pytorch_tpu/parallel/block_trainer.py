@@ -439,6 +439,19 @@ def run_block_segment(params_layers, opt_state, masks, enc, data, weight,
     as the solo sampler's integer path (train/samplers.py).
     Returns (params_layers, opt_state, losses (n_steps, B)).
     """
+    if fused:
+        # spec/sampler/loss/half are all static jit args, so misuse fails at
+        # trace time instead of training silently wrong: 'fullbatch' needs a
+        # per-block valid mask the kernel cannot express, and a non-plain
+        # chain would mis-zip layers against spec.entries inside
+        # fused_train_grads (advisor r4).
+        if not fleet_fused_supported(spec, loss_name, sampler, half):
+            raise ValueError(
+                "run_block_segment(fused=True) requires a "
+                "fleet_fused_supported bucket (plain f32 chain, kernel "
+                f"loss, sampler != 'fullbatch'); got sampler={sampler!r} "
+                f"loss={loss_name!r} half={half} spec={spec.entries!r} "
+                f"encoder={spec.encoder!r} skip={spec.skip_entry}")
     loss_fn = make_loss(loss_name, beta)
     compute_dtype = jnp.bfloat16 if half else None
     B = data.shape[0]
@@ -1219,6 +1232,13 @@ class BlockFleetTrainer:
             ss.steps_done += seg_n
         ss.last_losses = losses
         return losses
+
+    def fused_paths(self) -> List[bool]:
+        """Per-bucket fused-kernel flags (True = the Pallas fused train
+        kernel runs that bucket, False = XLA autodiff).  Public accessor so
+        tooling (bench.py) never reaches into _states — and never reports
+        one bucket's flag as the whole fleet's (advisor r4)."""
+        return [bool(st.fused) for st in self._states]
 
     def fleet_stats(self) -> List[Dict]:
         """Per-bucket occupancy accounting: how much compute the padding
