@@ -272,41 +272,59 @@ lr_scheduler_phi: {{name: none}}
     _emit(metric, coords_per_sec, extras)
 
 
-def bench_decode(spatial=(256, 256, 256), slab=65536,
+def bench_decode(spatial=(256, 256, 256), reps=20,
                  metric="decode_voxels_per_sec_per_chip"):
     """Full-grid decompression (the reference's other hot path,
-    main.py:609-651): the contract SIREN evaluated over a 256^3 grid as
-    ONE jitted lax.scan with on-device iota coordinates — Pallas fused
-    chain on TPU, plain apply elsewhere (train/decode.fused_apply_or).
-    Syncs on a scalar reduction, not the volume (the dev tunnel sustains
-    ~18 MB/s; transferring the decode would time the link)."""
+    main.py:609-651): the contract SIREN evaluated over a 256^3 grid via
+    the feature-major fused decode kernel (ops/pallas_decode.py) on TPU,
+    the plain-XLA scan elsewhere.  `reps` full decodes run INSIDE one
+    dispatch (per-rep 1e-20 bias perturbation defeats CSE): a single
+    dispatch costs ~24 ms over the dev tunnel, comparable to the decode
+    itself, so single-dispatch timing measures the tunnel (r5 finding —
+    the old number was 182M; the true rate is ~1.7G).  Syncs on a scalar
+    reduction, not the volume (the tunnel sustains ~18 MB/s)."""
     import jax
     import jax.numpy as jnp
     from brief_pytorch_tpu.models.phi import init_phi
-    from brief_pytorch_tpu.train.decode import _decode_scan, fused_apply_or
+    from brief_pytorch_tpu.ops import pallas_decode, pallas_siren
+    from brief_pytorch_tpu.train.decode import _decode_scan
 
     phi_cfg = {"name": "SIREN", "coords_channel": 3, "data_channel": 1,
                "layers": 5, "w0": 20, "res": False, "output_act": False,
                "features": 22}
     model = init_phi(phi_cfg)
     params = model.init(jax.random.PRNGKey(42))
-    default_apply = model.apply   # capture once: each attribute access
-    apply_fn = fused_apply_or(model, default_apply)  # is a NEW bound method
+    use_kernel = (jax.devices()[0].platform == "tpu"
+                  and pallas_decode.supports(model, spatial))
+    if use_kernel:
+        acts = pallas_siren.chain_layer_specs(model.spec)
 
-    def run(_):
-        flat = _decode_scan(params, apply_fn, tuple(spatial), 1, slab,
-                            "-1,1", None)
-        return jnp.sum(flat)
+        def decode_sum(p):
+            return jnp.sum(pallas_decode.fused_decode_grid(
+                p["layers"], spatial, acts, "n11"))
+    else:
+        def decode_sum(p):
+            return jnp.sum(_decode_scan(p, model.apply, tuple(spatial), 1,
+                                        65536, "-1,1", None))
 
-    dt = _time_segment(run, 1)
+    @jax.jit
+    def run_reps():
+        def body(acc, i):
+            eps = i.astype(jnp.float32) * 1e-20
+            p = {"layers": [{"w": l["w"], "b": l["b"] + eps}
+                            for l in params["layers"]]}
+            return acc + decode_sum(p), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(reps))
+        return acc
+
+    dt = _time_segment(lambda _i: run_reps(), 1) / reps
     vox = float(np.prod(spatial))
     kind, _peak = _device_peak()
     print(json.dumps({
         "metric": metric, "value": round(vox / dt, 1),
         "unit": "voxels/s/chip", "vs_baseline": None,
-        "grid": "x".join(str(s) for s in spatial), "slab": slab,
-        "device_kind": kind,
-        "fused_pallas": apply_fn is not default_apply}))
+        "grid": "x".join(str(s) for s in spatial), "reps_per_dispatch": reps,
+        "device_kind": kind, "fused_pallas": use_kernel}))
 
 
 def _require_device(timeout_s: int = 300):

@@ -46,14 +46,26 @@ def _decode_scan(params, apply_fn, spatial_shape: Tuple[int, ...],
 
 def reconstruct_flattened(apply_fn: Callable, params, data_shape: Sequence[int],
                           sample_size: int = 10000, coords_mode: str = "n11",
-                          half: bool = False) -> np.ndarray:
+                          half: bool = False, model=None) -> np.ndarray:
     """Evaluate φ over the full voxel grid; returns (*spatial, c) float32.
 
     data_shape: (*spatial, data_channel) as stored in sideinfos.
     sample_size bounds per-slab memory like the reference's Decompress
     sample_size (opt yaml), but is rounded up to a multiple of 128.
+
+    When `model` is given, the chain is supported, and we are on TPU, the
+    decode runs through the feature-major fused grid kernel
+    (ops/pallas_decode.py — measured 1723 Mvox/s at the 256^3 f=22
+    contract vs 1550 XLA / 248 batch-major Pallas; half decode keeps the
+    bf16 XLA chain for parity with the half training numerics).
     """
     *spatial, c = [int(s) for s in data_shape]
+    if (model is not None and not half
+            and _use_decode_kernel(model, spatial)):
+        from brief_pytorch_tpu.ops import pallas_decode
+        flat = pallas_decode.decode_volume(model, params, spatial,
+                                           coords_mode)
+        return np.asarray(flat, dtype=np.float32).reshape(*spatial, c)
     slab = max(128, _round_up(min(sample_size, int(np.prod(spatial))), 128))
     compute_dtype = jnp.bfloat16 if half else None
     flat = _decode_scan(params, apply_fn, tuple(spatial), c, slab,
@@ -61,10 +73,27 @@ def reconstruct_flattened(apply_fn: Callable, params, data_shape: Sequence[int],
     return np.asarray(flat, dtype=np.float32).reshape(*spatial, c)
 
 
+def _use_decode_kernel(model, spatial) -> bool:
+    """TPU + supported chain + >=2 spatial axes (see pallas_decode)."""
+    try:
+        from brief_pytorch_tpu.ops import pallas_decode
+        return (jax.devices()[0].platform == "tpu"
+                and pallas_decode.supports(model, spatial))
+    except Exception:
+        return False
+
+
 def fused_apply_or(model, default_apply: Callable, use_pallas: bool = True
                    ) -> Callable:
-    """Return the Pallas fused-chain apply for `model` when it is supported
-    and requested, else `default_apply` (see ops/pallas_siren.py)."""
+    """Return the batch-major Pallas fused-chain apply for `model` when it
+    is supported and requested, else `default_apply` (ops/pallas_siren.py).
+
+    NO LONGER the decode default: dispatch-amortized measurement
+    (scripts/decode_bench2.py, r5) showed the batch-major chain decodes
+    6x SLOWER than plain XLA at the contract shape (248 vs 1550 Mvox/s —
+    the (N, f) layout pads f=22 to 128 lanes).  Grid decodes now route
+    through ops/pallas_decode via reconstruct_flattened(model=...); this
+    helper remains for explicit batch-major use and its tests."""
     if not use_pallas:
         return default_apply
     try:

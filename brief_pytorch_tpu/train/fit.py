@@ -42,8 +42,7 @@ from brief_pytorch_tpu.models import sizing
 from brief_pytorch_tpu.models.phi import get_param_count, init_phi
 from brief_pytorch_tpu.post.preprocess import (parse_checkpoints, parse_weight,
                                                preprocess)
-from brief_pytorch_tpu.train.decode import (fused_apply_or,
-                                            reconstruct_flattened)
+from brief_pytorch_tpu.train.decode import reconstruct_flattened
 from brief_pytorch_tpu.train.loss import make_loss
 from brief_pytorch_tpu.train.optim import make_optimizer
 from brief_pytorch_tpu.train.samplers import (RandomCubeSampler,
@@ -475,18 +474,18 @@ class NFGR:
         save_phi_module(model, params, module_path)
 
     def _decode(self, model, params, sideinfos) -> np.ndarray:
-        # fused kernel is f32-only; half decode keeps the bf16 jnp chain.
-        # The apply closure is memoized per model: a fresh closure per
-        # checkpoint would be a new static jit arg and recompile the whole
-        # grid decode at every checkpoint.
+        # Supported chains on TPU decode through the feature-major fused
+        # grid kernel (reconstruct_flattened routes via model=); the rest
+        # use the plain XLA scan.  The apply closure is memoized per
+        # model: a fresh bound method per checkpoint would be a new
+        # static jit arg and recompile the whole grid decode every time.
         if getattr(self, "_decode_apply_model", None) is not model:
-            self._decode_apply = fused_apply_or(model, model.apply,
-                                                use_pallas=not self.half)
+            self._decode_apply = model.apply
             self._decode_apply_model = model
         dec = reconstruct_flattened(
             self._decode_apply, params, sideinfos["data_shape"],
             int(self.opt.Decompress.sample_size),
-            self.opt.Compress.coords_mode, self.half)
+            self.opt.Compress.coords_mode, self.half, model=model)
         dec = invnormalize_data(dec, sideinfos, **self.opt.Normalize)
         post = self.opt.Decompress.postprocess
         dec = preprocess(dec, post.denoise.level, post.denoise.close, post.clip)
@@ -565,10 +564,11 @@ class NFGR:
                               "encoder": {k: jnp.asarray(z[k])
                                           for k in z.files}}
         half = bool(opt.Compress.half)
-        apply_fn = fused_apply_or(model, model.apply, use_pallas=not half)
-        dec = reconstruct_flattened(apply_fn, params, sideinfos["data_shape"],
+        dec = reconstruct_flattened(model.apply, params,
+                                    sideinfos["data_shape"],
                                     int(opt.Decompress.sample_size),
-                                    opt.Compress.coords_mode, half)
+                                    opt.Compress.coords_mode, half,
+                                    model=model)
         dec = invnormalize_data(dec, dict(sideinfos), **opt.Normalize)
         post = opt.Decompress.postprocess
         dec = preprocess(dec, post.denoise.level, post.denoise.close, post.clip)
