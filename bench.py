@@ -320,11 +320,22 @@ def bench_decode(spatial=(256, 256, 256), reps=20,
     dt = _time_segment(lambda _i: run_reps(), 1) / reps
     vox = float(np.prod(spatial))
     kind, _peak = _device_peak()
-    print(json.dumps({
+    rec = {
         "metric": metric, "value": round(vox / dt, 1),
         "unit": "voxels/s/chip", "vs_baseline": None,
         "grid": "x".join(str(s) for s in spatial), "reps_per_dispatch": reps,
-        "device_kind": kind, "fused_pallas": use_kernel}))
+        "device_kind": kind, "fused_pallas": use_kernel}
+    anchor_path = os.path.join(_HERE, "anchor_crosscheck.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            da = json.load(f).get("decode")
+        if da:
+            rec["anchor_crosscheck"] = {
+                "measured": "reference utils/misc.py host slice loop vs "
+                            "our jitted scan, same CPU host",
+                "ratio_ours_over_reference":
+                    da["ratio_ours_over_reference"]}
+    print(json.dumps(rec))
 
 
 def _require_device(timeout_s: int = 300):

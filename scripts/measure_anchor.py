@@ -260,11 +260,69 @@ lr_scheduler_phi: {{name: none}}
     return FLEET_BLOCKS * FLEET_STEPS * FLEET_SAMPLE / best
 
 
+DECODE_SPATIAL = (64, 64, 64)
+DECODE_SAMPLE = 10000   # the reference Decompress.sample_size default
+
+
+def measure_torch_decode():
+    """The reference's actual decompress loop (utils/misc.py:59-92 via
+    NFGR.decompress main.py:270-297): whole-grid coords materialised, host
+    loop of sample_size forward slices.  Timed best-of-2 on CPU."""
+    import torch
+    sys.path.insert(0, os.path.join(HERE, "scripts"))
+    import ref_stubs
+    ref_stubs.install()
+    sys.path.insert(0, REF)
+    try:
+        import utils.Networks as refnet
+        from utils.misc import reconstruct_flattened as ref_reconstruct
+    finally:
+        sys.path.remove(REF)
+    torch.manual_seed(42)
+    net = refnet.SIREN(coords_channel=3, data_channel=1, features=FEATURES,
+                       layers=5, w0=20, res=False, output_act=False)
+    shape = (*DECODE_SPATIAL, 1)
+    with torch.no_grad():
+        ref_reconstruct(shape, DECODE_SAMPLE, net.forward, device="cpu")
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = ref_reconstruct(shape, DECODE_SAMPLE, net.forward,
+                                  device="cpu")
+            best = min(best, time.perf_counter() - t0)
+    return float(np.prod(DECODE_SPATIAL)) / best, float(out.float().mean())
+
+
+def measure_jax_decode():
+    """Our train/decode.reconstruct_flattened on the same CPU (the XLA
+    scan path — the Pallas decode kernel is TPU-only), same grid and
+    sample_size (ours rounds the slab up to a lane multiple: 10112)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from brief_pytorch_tpu.models.phi import init_phi
+    from brief_pytorch_tpu.train.decode import reconstruct_flattened
+    model = init_phi({"name": "SIREN", "coords_channel": 3, "data_channel": 1,
+                      "features": FEATURES, "layers": 5, "w0": 20,
+                      "res": False, "output_act": False})
+    params = model.init(jax.random.PRNGKey(42))
+    shape = (*DECODE_SPATIAL, 1)
+    reconstruct_flattened(model.apply, params, shape, DECODE_SAMPLE, "-1,1")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = reconstruct_flattened(model.apply, params, shape,
+                                    DECODE_SAMPLE, "-1,1")
+        best = min(best, time.perf_counter() - t0)
+    return float(np.prod(DECODE_SPATIAL)) / best, float(out.mean())
+
+
 def main():
     jax_cps, jax_loss = measure_jax()
     jax_fleet_cps = measure_jax_fleet()
+    jax_dec_vps, _ = measure_jax_decode()
     torch_cps, torch_loss = measure_torch()
     torch_fleet_cps = measure_torch_fleet()
+    torch_dec_vps, _ = measure_torch_decode()
     rec = {
         "host": "cpu-vs-cpu (same machine)",
         "config": f"SIREN f={FEATURES} L=5, full-volume 64^3 randomcube, "
@@ -291,6 +349,17 @@ def main():
             "ratio_ours_over_reference": round(
                 jax_fleet_cps / torch_fleet_cps, 3),
             "n_timed_steps": FLEET_STEPS,
+        },
+        "decode": {
+            "config": f"full-grid decompress, {'x'.join(map(str, DECODE_SPATIAL))}, "
+                      f"SIREN f={FEATURES} L=5, sample_size {DECODE_SAMPLE} "
+                      "(reference utils/misc.py:59-92 host slice loop vs "
+                      "our jitted lax.scan, both CPU; the TPU decode "
+                      "kernel's rate is RESULTS.md 'Decode path rebuilt')",
+            "reference_torch_voxels_per_sec": round(torch_dec_vps, 1),
+            "ours_jax_cpu_voxels_per_sec": round(jax_dec_vps, 1),
+            "ratio_ours_over_reference": round(jax_dec_vps / torch_dec_vps,
+                                               3),
         },
     }
     out = os.path.join(HERE, "anchor_crosscheck.json")
