@@ -103,6 +103,30 @@ class TestFusedDecodeGrid:
                          "data_channel": 1, "features": 16, "layers": 4})
         assert not pd.supports(nerf, (4, 4, 4))  # skip chains unsupported
 
+    @pytest.mark.parametrize("family", ["SIREN", "SIRENFT", "SIREN_RELU",
+                                        "SIREN_SIGMOID", "SIRENPos",
+                                        "SIREN_Pyramid", "SIRENPS"])
+    def test_supported_families_match(self, family):
+        """Every plain-chain phi family the kernel claims to support
+        decodes identically to the XLA grid reference (output_act on,
+        exercising the trailing sigmoid)."""
+        cfg = {"name": family, "coords_channel": 3, "data_channel": 1,
+               "features": 12, "layers": 4, "w0": 20, "output_act": True}
+        if family == "SIRENPos":
+            cfg["T"] = [2.0, 3.0, 2.0]
+        if family == "SIREN_Pyramid":
+            # widths shrink by features_dis per layer; must stay positive
+            cfg["features"] = 40
+        model = init_phi(cfg)
+        spatial = (4, 5, 6)
+        if not pd.supports(model, spatial):
+            pytest.skip(f"{family} chain unsupported by the decode kernel")
+        params = model.init(jax.random.PRNGKey(1))
+        out = pd.decode_volume(model, params, spatial, "n11",
+                               tile=128, interpret=True)
+        ref = _full_grid_ref(model, params, spatial)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
     def test_reconstruct_flattened_model_kwarg_cpu(self):
         """On the CPU test platform the model= route falls back to the XLA
         scan and stays numerically identical to the apply_fn path."""
