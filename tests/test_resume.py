@@ -163,8 +163,17 @@ def test_fleet_resume_fingerprint_mismatch(tmp_path):
 def test_cli_resume_flag(fast_opt, brain64_path, tmp_path):
     """-resume on the CLI (cli/main.py) overrides Compress.resume: run A
     stops at 20, the same command + -resume continues to 40 and matches
-    the uninterrupted 40-step truth exactly."""
-    from brief_pytorch_tpu.cli.main import main
+    the uninterrupted 40-step truth exactly.
+
+    Each CLI invocation runs as a real subprocess (`python -m
+    brief_pytorch_tpu.cli.main`): beyond exercising the actual process
+    boundary, this dodges the documented full-suite XLA-CPU compiler
+    segfault — in-process, this test's late-ordered compile crashed the
+    compiler once the suite's accumulated program count grew (r5: adding
+    tests/test_pallas_decode.py tipped it), while any fresh process
+    passes (same pathology as test_nflr_resume_bit_identical below)."""
+    import subprocess
+    import sys
 
     def write_yaml(outdir, max_steps):
         o = copy.deepcopy(fast_opt)
@@ -181,10 +190,19 @@ def test_cli_resume_flag(fast_opt, brain64_path, tmp_path):
         _cfg.save(o.to_plain() if hasattr(o, "to_plain") else o, str(p))
         return str(p)
 
-    main(["-p", write_yaml(tmp_path / "a", 20)])
-    main(["-p", write_yaml(tmp_path / "b", 40)])
-    main(["-p", write_yaml(tmp_path / "c", 40),
-          "-resume", str(tmp_path / "a" / "clir")])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo}
+
+    def cli(*args):
+        p = subprocess.run(
+            [sys.executable, "-m", "brief_pytorch_tpu.cli.main", *args],
+            capture_output=True, text=True, timeout=900, env=env)
+        assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-3000:]
+
+    cli("-p", write_yaml(tmp_path / "a", 20))
+    cli("-p", write_yaml(tmp_path / "b", 40))
+    cli("-p", write_yaml(tmp_path / "c", 40),
+        "-resume", str(tmp_path / "a" / "clir"))
     from brief_pytorch_tpu.io.modelsave import load_model
     lb = load_model(os.path.join(tmp_path, "b", "clir", "steps40",
                                  "compressed", "module"))
