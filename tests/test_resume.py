@@ -14,6 +14,37 @@ pytestmark = pytest.mark.slow  # subprocess-isolated resume runs
 
 from brief_pytorch_tpu.core import config as cfglib
 
+# Every test in this module runs ISOLATED in a fresh pytest subprocess.
+# Rationale (documented in CLAUDE.md, reproduced r3/r4/r5): after the full
+# suite's hundreds of accumulated compiled programs, the XLA CPU compiler
+# segfaults compiling whatever this late-ordered module jits next — the
+# victim test moves as the suite grows (r3: NFLR SGA; r5: the CLI resume
+# run, then the fleet fingerprint run after more tests were added).  A
+# fresh process always passes; the crash is an upstream compiler issue.
+_INPROC = os.environ.get("BRIEF_RESUME_INPROC") == "1"
+
+
+def _isolated(fn):
+    """Run the wrapped test via `pytest <this file>::<name>` in a clean
+    subprocess; inside that subprocess (env marker) run the real body."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if _INPROC:
+            return fn(*args, **kwargs)
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo,
+               "BRIEF_RESUME_INPROC": "1"}
+        p = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             f"{os.path.abspath(__file__)}::{fn.__name__}"],
+            capture_output=True, text=True, timeout=1200, env=env, cwd=repo)
+        assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-3000:]
+    return wrapper
+
 
 def _tree_equal(a, b):
     import jax
@@ -53,6 +84,7 @@ def _run_single(opt, brain64_path, outdir, max_steps, checkpoints,
     return cf, log.logdir
 
 
+@_isolated
 def test_single_resume_bit_identical(fast_opt, brain64_path, tmp_path):
     # A: train to 40 and stop — trainstate.npz lands in the run dir
     cf_a, logdir_a = _run_single(fast_opt, brain64_path, tmp_path / "a",
@@ -73,6 +105,7 @@ def test_single_resume_bit_identical(fast_opt, brain64_path, tmp_path):
     assert os.path.isdir(os.path.join(logdir_c, "steps80"))
 
 
+@_isolated
 def test_single_resume_fingerprint_mismatch(fast_opt, brain64_path,
                                             tmp_path):
     _, logdir_a = _run_single(fast_opt, brain64_path, tmp_path / "a",
@@ -140,6 +173,7 @@ def _run_fleet(tmp_path, tag, max_steps, checkpoints, state=True,
     return blocks, str(tmp_path / f"state_{tag}.npz")
 
 
+@_isolated
 def test_fleet_resume_bit_identical(tmp_path):
     # A: 4 of 8 steps, state saved at the checkpoint
     _, state_a = _run_fleet(tmp_path, "a", max_steps=8, checkpoints=[4])
@@ -153,6 +187,7 @@ def test_fleet_resume_bit_identical(tmp_path):
         _tree_equal(bb["params"], bc["params"])
 
 
+@_isolated
 def test_fleet_resume_fingerprint_mismatch(tmp_path):
     _, state_a = _run_fleet(tmp_path, "a", max_steps=8, checkpoints=[4])
     with pytest.raises(ValueError, match="different"):
