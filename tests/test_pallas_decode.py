@@ -127,6 +127,17 @@ class TestFusedDecodeGrid:
         ref = _full_grid_ref(model, params, spatial)
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
+    def test_wide_chain_tile_clamp(self):
+        """Wide chains clamp the voxel tile by the VMEM budget
+        (_VMEM_TILE_BUDGET / width) and still decode exactly."""
+        model, params = _siren(features=256, layers=3)
+        spatial = (2, 3, 50)
+        acts = ps.chain_layer_specs(model.spec)
+        out = pd.fused_decode_grid(params["layers"], spatial, acts, "n11",
+                                   tile=1 << 20, interpret=True)
+        ref = _full_grid_ref(model, params, spatial)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
     def test_reconstruct_flattened_model_kwarg_cpu(self):
         """On the CPU test platform the model= route falls back to the XLA
         scan and stays numerically identical to the apply_fn path."""
