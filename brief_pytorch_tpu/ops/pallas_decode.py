@@ -54,6 +54,7 @@ import numpy as np
 
 from brief_pytorch_tpu.core.coords import axis_linspace, parse_coords_mode
 from brief_pytorch_tpu.ops.pallas_siren import (LayerSpec, _HAS_PALLAS,
+                                                _apply_act,
                                                 chain_layer_specs)
 
 if _HAS_PALLAS:
@@ -69,19 +70,6 @@ _VMEM_TILE_BUDGET = 8 << 20  # bytes for one (width, tile) f32 activation
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def _act_fm(z, act: str, w0: float):
-    if act == "sine":
-        from brief_pytorch_tpu.ops.fast_math import fast_sin
-        return fast_sin(w0 * z)
-    if act == "relu":
-        return jnp.maximum(z, 0.0)
-    if act == "sigmoid":
-        return jax.nn.sigmoid(z)
-    if act == "none":
-        return z
-    raise ValueError(act)
 
 
 def _make_decode_kernel(acts: LayerSpec, n_layers: int, lead_n: int,
@@ -117,7 +105,7 @@ def _make_decode_kernel(acts: LayerSpec, n_layers: int, lead_n: int,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) + b_refs[l][:]
             act, w0 = acts[l]
-            h = _act_fm(zl, act, w0)
+            h = _apply_act(zl, act, w0)
         out_ref[:] = h
 
     return kernel
@@ -233,9 +221,17 @@ def fused_decode_grid(layers, spatial: Sequence[int], acts: LayerSpec,
     return out.reshape(cout, pop).T
 
 
+# all weights ride in VMEM as full blocks; chains whose summed weight
+# bytes exceed this fall back to the XLA scan instead of failing Mosaic
+# VMEM allocation at compile time (v5e VMEM is 128 MB; leave room for
+# double-buffered activation tiles)
+_VMEM_WEIGHT_BUDGET = 32 << 20
+
+
 def supports(model, spatial=None) -> bool:
     """Whether the fused decode kernel can run this phi model (same chain
-    constraints as the train kernel; SIRENPos folds into coord-gen)."""
+    constraints as the train kernel; SIRENPos folds into coord-gen;
+    weights must fit the VMEM residency budget)."""
     if not _HAS_PALLAS:
         return False
     if spatial is not None and len(spatial) < 2:
@@ -245,9 +241,10 @@ def supports(model, spatial=None) -> bool:
         return False
     try:
         chain_layer_specs(spec)
-        return True
     except ValueError:
         return False
+    w_bytes = sum(4 * e.fan_in * e.fan_out for e in spec.entries)
+    return w_bytes <= _VMEM_WEIGHT_BUDGET
 
 
 def decode_volume(model, params, spatial: Sequence[int], mode: str,

@@ -1314,5 +1314,5 @@ class BlockFleetTrainer:
             scc = ss.cc if ss.cc is not None else cc
             results[ss.block_idx] = reconstruct_flattened(
                 ss.model.apply, ss.params, shape, 1 << 15, scc.coords_mode,
-                bool(scc.half))
+                bool(scc.half), model=ss.model)
         return results

@@ -102,6 +102,12 @@ class TestFusedDecodeGrid:
         nerf = init_phi({"name": "NeRF", "coords_channel": 3,
                          "data_channel": 1, "features": 16, "layers": 4})
         assert not pd.supports(nerf, (4, 4, 4))  # skip chains unsupported
+        # weights past the VMEM residency budget fall back to the XLA scan
+        # instead of failing Mosaic VMEM allocation at compile time
+        huge = init_phi({"name": "SIREN", "coords_channel": 3,
+                         "data_channel": 1, "features": 2048, "layers": 5,
+                         "w0": 20})
+        assert not pd.supports(huge, (4, 4, 4))
 
     @pytest.mark.parametrize("family", ["SIREN", "SIRENFT", "SIREN_RELU",
                                         "SIREN_SIGMOID", "SIRENPos",
@@ -119,8 +125,9 @@ class TestFusedDecodeGrid:
             cfg["features"] = 40
         model = init_phi(cfg)
         spatial = (4, 5, 6)
-        if not pd.supports(model, spatial):
-            pytest.skip(f"{family} chain unsupported by the decode kernel")
+        # these families are all plain chains: losing kernel support for
+        # any of them would be a product regression, not a skip
+        assert pd.supports(model, spatial), f"{family} lost kernel support"
         params = model.init(jax.random.PRNGKey(1))
         out = pd.decode_volume(model, params, spatial, "n11",
                                tile=128, interpret=True)

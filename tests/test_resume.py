@@ -14,7 +14,9 @@ pytestmark = pytest.mark.slow  # subprocess-isolated resume runs
 
 from brief_pytorch_tpu.core import config as cfglib
 
-# Every test in this module runs ISOLATED in a fresh pytest subprocess.
+# Every test in this module runs subprocess-isolated: four via the
+# _isolated decorator below, the CLI test via real CLI subprocesses, the
+# NFLR test via its worker script.
 # Rationale (documented in CLAUDE.md, reproduced r3/r4/r5): after the full
 # suite's hundreds of accumulated compiled programs, the XLA CPU compiler
 # segfaults compiling whatever this late-ordered module jits next — the
@@ -36,7 +38,9 @@ def _isolated(fn):
         import subprocess
         import sys
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo,
+        pp = os.environ.get("PYTHONPATH", "")
+        env = {**os.environ, "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": repo + (os.pathsep + pp if pp else ""),
                "BRIEF_RESUME_INPROC": "1"}
         p = subprocess.run(
             [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
@@ -226,7 +230,9 @@ def test_cli_resume_flag(fast_opt, brain64_path, tmp_path):
         return str(p)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo}
+    _pp = os.environ.get("PYTHONPATH", "")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": repo + (os.pathsep + _pp if _pp else "")}
 
     def cli(*args):
         p = subprocess.run(
