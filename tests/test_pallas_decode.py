@@ -134,6 +134,30 @@ class TestFusedDecodeGrid:
         ref = _full_grid_ref(model, params, spatial)
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_fuzz_config_shapes(self, seed):
+        """Randomized supported configs x odd grids agree with the XLA
+        chain (layers down to 2, multi-channel, 2-D/3-D, both coord
+        modes) — the edge-combination net the fixed cases can't cast."""
+        rng = np.random.default_rng(100 + seed)
+        cin = int(rng.choice([2, 3]))
+        cfg = {"name": "SIREN", "coords_channel": cin,
+               "data_channel": int(rng.choice([1, 2, 3])),
+               "features": int(rng.choice([6, 10, 17])),
+               "layers": int(rng.choice([2, 3, 5])), "w0": 20,
+               "output_act": bool(rng.choice([True, False]))}
+        spatial = tuple(int(rng.integers(1, 8)) for _ in range(cin))
+        if spatial[0] == 1 and len(spatial) < 2:
+            spatial = (2,) + spatial
+        mode = str(rng.choice(["n11", "0,1"]))
+        model = init_phi(cfg)
+        assert pd.supports(model, spatial)
+        params = model.init(jax.random.PRNGKey(seed))
+        out = pd.decode_volume(model, params, spatial, mode,
+                               tile=128, interpret=True)
+        ref = _full_grid_ref(model, params, spatial, mode=mode)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
     def test_wide_chain_tile_clamp(self):
         """Wide chains clamp the voxel tile by the VMEM budget
         (_VMEM_TILE_BUDGET / width) and still decode exactly."""
